@@ -1,0 +1,280 @@
+"""Unified typed configuration.
+
+The reference spreads configuration over three tiers (SURVEY.md §5): ROS
+launch params (reference src/main.cpp:271-312), DSO ``setting_*`` globals
+mutated by presets/modes (main.cpp:75-132), and compile-time #defines
+(LoopHandler.h:36-42, search_place.h:21-23, PoseEstimator.h:26-27,
+icp.h:20, ScanContext.cpp:68-73, generate_spherical_points.h:23-25).
+Here everything lives in one frozen dataclass tree so that a config is a
+hashable static argument to jitted programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# State-vector preconditioning scales (DSO util/NumType.h conventions).
+# Tangent ordering everywhere: [tx, ty, tz, rx, ry, rz] (Sophus SE3::exp).
+# The tracker preconditions increments by these before exp/update
+# (reference TrackerAndScaler.cpp:541-545, 685-696).
+SCALE_XI_TRANS = 1.0  # applied to tangent[0:3] ("SCALE_XI_ROT" in DSO naming)
+SCALE_XI_ROT = 0.5    # applied to tangent[3:6] ("SCALE_XI_TRANS" in DSO naming)
+SCALE_A = 10.0
+SCALE_B = 1000.0
+SCALE_F = 50.0
+SCALE_C = 50.0
+SCALE_IDEPTH = 1.0
+
+# 8-pixel residual pattern (DSO "spread" staticPattern #8) used by the
+# windowed BA, immature point trace, and point activation.
+PATTERN_OFFSETS: Tuple[Tuple[int, int], ...] = (
+    (0, -2), (-1, -1), (1, -1), (-2, 0),
+    (0, 0), (2, 0), (-1, 1), (0, 2),
+)
+PATTERN_NUM = 8
+PATTERN_PADDING = 2
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Coarse tracker / scale optimizer / loop pose estimator shared knobs."""
+
+    pyr_levels: int = 5
+    huber_th: float = 9.0                  # setting_huberTH
+    coarse_cutoff_th: float = 20.0         # setting_coarseCutoffTH
+    # LM iterations per level, fine->coarse (TrackerAndScaler.cpp:463)
+    max_iterations: Tuple[int, ...] = (10, 20, 50, 50, 50)
+    lambda_init: float = 0.01
+    lambda_extrapolation_limit: float = 1e-3
+    lambda_accept_factor: float = 0.5
+    lambda_reject_factor: float = 4.0
+    inc_break_norm: float = 1e-3
+    # cutoff-doubling repeat while >60% of residuals saturate
+    # (TrackerAndScaler.cpp:477-485)
+    saturated_ratio_repeat: float = 0.6
+    cutoff_repeat_max: float = 50.0
+    re_track_threshold: float = 1.5        # setting_reTrackThreshold
+    # affine optimization modes: >0 optimize with prior, 0 optimize free,
+    # <0 fix at zero (main.cpp:120-127). Default launch mode=1 -> 0/0.
+    affine_mode_a: float = 0.0
+    affine_mode_b: float = 0.0
+    # tracker failure gates (TrackerAndScaler.cpp:615-626)
+    max_aff_a: float = 1.2
+    max_aff_b: float = 200.0
+    max_rel_aff_log_a: float = 1.5
+    max_rel_aff_b: float = 200.0
+    # number of pose candidates evaluated in the first (cheap) batch before
+    # falling back to the 78 rotation perturbations (FrontEnd.cpp:132-186).
+    rot_perturbation_deltas: Tuple[float, ...] = (0.02, 0.03, 0.04)
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe decision weights (FrontEnd.cpp:644-667; DSO settings)."""
+
+    kf_global_weight: float = 1.0
+    # DSO defaults are premultiplied by (640+480) and divided by (w+h) at
+    # use-site; we store the raw weights.
+    max_shift_weight_t: float = 0.04 * (640 + 480)
+    max_shift_weight_r: float = 0.0 * (640 + 480)
+    max_shift_weight_rt: float = 0.02 * (640 + 480)
+    max_affine_weight: float = 2.0
+    keyframes_per_second: float = 0.0      # 0 => heuristic decision
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Windowed photometric bundle adjustment (FrontEndOptimize.cpp)."""
+
+    min_frames: int = 5                    # setting_minFrames
+    max_frames: int = 7                    # setting_maxFrames
+    max_opt_iterations: int = 6            # setting_maxOptIterations
+    min_opt_iterations: int = 1            # setting_minOptIterations
+    th_opt_iterations: float = 1.2         # setting_thOptIterations
+    min_frame_age: int = 1                 # setting_minFrameAge
+    desired_point_density: float = 2000.0  # setting_desiredPointDensity
+    desired_immature_density: float = 1500.0
+    outlier_th: float = 12.0 * 12.0        # setting_outlierTH (per pattern-pt x8)
+    outlier_th_sum_component: float = 50.0 * 50.0
+    frame_energy_th_n: float = 0.7         # setting_frameEnergyTHN (percentile)
+    frame_energy_th_fac_median: float = 1.5
+    frame_energy_th_const_weight: float = 0.5
+    overall_energy_th_weight: float = 1.0
+    huber_th: float = 9.0
+    # priors (first KF / first iterations)
+    initial_rot_prior: float = 1e11
+    initial_trans_prior: float = 1e10
+    initial_aff_a_prior: float = 1e14
+    initial_aff_b_prior: float = 1e14
+    initial_calib_hessian: float = 5e9
+    idepth_fix_prior: float = 50.0 * 50.0
+    solver_force_accept_step: bool = True  # setting_forceAceptStep
+    marg_weight_fac: float = 0.25          # setting_margWeightFac = 0.5^2
+    min_idepth_h_act: float = 100.0        # setting_minIdepthH_act
+    min_idepth_h_marg: float = 50.0        # setting_minIdepthH_marg
+    min_points_remaining: float = 0.05     # setting_minPointsRemaining
+    max_log_aff_fac_in_window: float = 0.7  # setting_maxLogAffFacInWindow
+    # fixed array budgets (TPU-first; replaces dynamic vectors)
+    max_points_per_frame: int = 512        # active points hosted per KF slot
+    max_immature_per_frame: int = 1024
+
+
+@dataclass(frozen=True)
+class TraceConfig:
+    """Immature point epipolar trace (DSO ImmaturePoint::traceOn)."""
+
+    max_pix_search_frac: float = 0.027     # setting_maxPixSearch * (w+h)
+    trace_slack_interval: float = 1.5
+    trace_extra_slack_on_th: float = 1.2
+    trace_gn_iterations: int = 3
+    trace_step_size: float = 1.0
+    trace_min_improvement_factor: float = 2.0
+    trace_gn_threshold: float = 0.1
+    min_trace_quality: float = 3.0         # setting_minTraceQuality
+    outlier_th: float = 12.0 * 12.0
+
+
+@dataclass(frozen=True)
+class SelectorConfig:
+    """Gradient-histogram pixel selector (DSO PixelSelector2)."""
+
+    min_grad_hist_cut: float = 0.5         # setting_minGradHistCut
+    min_grad_hist_add: float = 7.0         # setting_minGradHistAdd
+    grad_down_weight_per_level: float = 0.75
+    block_size: int = 32                   # histogram block for thresholds
+    pot: int = 3                           # initial selection potential
+
+
+@dataclass(frozen=True)
+class ScaleOptConfig:
+    """Stereo 1-DoF scale optimizer (FrontEnd.cpp:975-1064)."""
+
+    # accept threshold; <0 disables scale opt entirely (odometry/DSO mode)
+    accept_thres: float = 15.0             # scale_opt_thres param
+    grid_guesses: Tuple[float, ...] = (0.1, 1.0, 5.0, 10.0, 15.0, 25.0, 30.0, 50.0)
+    trapped_jump_thres: float = 0.5        # |scale-1| > 0.5 while trapped
+    max_consecutive_fails: int = 5
+    min_kfs_before_scale: int = 4          # skip until >4 KFs (FrontEnd.cpp:806)
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure (LoopHandler.*, loop_detection/*, pose_estimation/*)."""
+
+    lidar_range: float = 40.0              # <0 disables loop closure
+    scan_context_thres: float = 0.33
+    # scan generation (generate_spherical_points.h:23-25, 34-40)
+    voxel_res: Tuple[float, float, float] = (1.0, 0.5, 1.0)
+    orientation_trim_rad: float = 0.5
+    # scan context (ScanContext.cpp:68-73)
+    num_sectors: int = 60
+    num_rings: int = 20
+    # retrieval (search_place.h:21-23)
+    knn: int = 3
+    loop_margin: int = 100                 # insertion lag in frames
+    ringkey_thres: float = 0.1
+    # direct pose estimator gates (PoseEstimator.h:26-27, cpp:463-505)
+    res_thres: float = 10.0
+    inner_percent: float = 90.0
+    # icp (icp.h:20, 57-63)
+    icp_thres: float = 1.5
+    icp_max_iterations: int = 5
+    icp_max_corr_dist: float = 2.0
+    icp_transformation_eps: float = 0.01
+    # pose graph edge weighting (LoopHandler.h:36-42)
+    dso_error_scale: float = 5.0
+    scale_error_scale: float = 0.1
+    direct_error_scale: float = 0.1
+    icp_error_scale: float = 1.0
+    pose_r_weight: float = 1e4
+    pgo_iterations: int = 25
+    # fixed budgets
+    max_scan_points: int = 4096
+    max_loop_points: int = 2048            # sparse pts per loop frame
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Driver-level settings (main.cpp:212-265)."""
+
+    sequence_gap_seconds: float = 10.0     # new-sequence detection
+    quiet: bool = True
+    multi_threading: bool = True           # loop thread on/off
+    # initialization failure RMSE gates (FrontEnd.cpp:778-787)
+    init_rmse_gates: Tuple[float, ...] = (25.0, 15.0, 10.0)
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    """Top-level config. `preset()`/`mode()` mirror main.cpp:75-132."""
+
+    width: int = 1232
+    height: int = 368
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    trace: TraceConfig = field(default_factory=TraceConfig)
+    selector: SelectorConfig = field(default_factory=SelectorConfig)
+    scale_opt: ScaleOptConfig = field(default_factory=ScaleOptConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    photometric_mode: int = 1              # 0: calib, 1: none, 2: perfect
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def make_config(
+    width: int,
+    height: int,
+    preset: int = 0,
+    mode: int = 1,
+    scale_opt_thres: float = 15.0,
+    lidar_range: float = 40.0,
+    scan_context_thres: float = 0.33,
+) -> SLAMConfig:
+    """Build a config the way the reference's ROS node does (main.cpp:75-132,
+    293-308). preset 0 = default quality, preset 2 = fast; mode 0/1/2 =
+    photometric calibration / none / perfect images."""
+    if preset not in (0, 2):
+        raise ValueError(f"preset={preset} is not supported (reference main.cpp:77-80)")
+
+    ba = BAConfig()
+    selector = SelectorConfig()
+    tracker = TrackerConfig()
+
+    if preset == 0:
+        ba = dataclasses.replace(
+            ba, desired_immature_density=1500.0, desired_point_density=2000.0,
+            min_frames=5, max_frames=7, max_opt_iterations=6, min_opt_iterations=1,
+            max_points_per_frame=512, max_immature_per_frame=1024,
+        )
+    elif preset == 2:
+        ba = dataclasses.replace(
+            ba, desired_immature_density=600.0, desired_point_density=800.0,
+            min_frames=4, max_frames=6, max_opt_iterations=4, min_opt_iterations=1,
+            max_points_per_frame=256, max_immature_per_frame=512,
+        )
+
+    if mode == 1:
+        tracker = dataclasses.replace(tracker, affine_mode_a=0.0, affine_mode_b=0.0)
+    elif mode == 2:
+        tracker = dataclasses.replace(tracker, affine_mode_a=-1.0, affine_mode_b=-1.0)
+        selector = dataclasses.replace(selector, min_grad_hist_add=3.0)
+    elif mode == 0:
+        # photometric calibration present: affine optimized with prior
+        tracker = dataclasses.replace(tracker, affine_mode_a=1e12, affine_mode_b=1e8)
+
+    return SLAMConfig(
+        width=width,
+        height=height,
+        tracker=tracker,
+        ba=ba,
+        selector=selector,
+        scale_opt=ScaleOptConfig(accept_thres=scale_opt_thres),
+        loop=LoopConfig(lidar_range=lidar_range, scan_context_thres=scan_context_thres),
+        photometric_mode=mode,
+    )

@@ -1,0 +1,213 @@
+"""Synthetic stereo sequence generator with exact ground truth.
+
+The reference validates against KITTI/Malaga rosbags (SURVEY.md §4); those
+datasets are not available in this environment, so tests and benchmarks use
+a procedurally-textured 3D scene rendered with exact geometry: a ground
+plane, two side walls and a front wall, textured with a smooth
+world-anchored multi-frequency pattern so photometric consistency across
+views is exact. Any camera pose can be rendered with its exact depth map,
+giving golden data for the tracker, scale optimizer, BA and loop closure.
+
+Rendering is a jitted ray-cast (one plane-intersection per pixel per plane;
+pure VPU math, no gathers), fast enough to generate sequences on the fly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import lie
+
+
+class SyntheticScene(NamedTuple):
+    """Axis-aligned planes: n . x = c, with validity boxes. Camera convention:
+    x right, y down, z forward (world = first camera frame)."""
+
+    # plane normals [P, 3], offsets [P]
+    normals: jnp.ndarray
+    offsets: jnp.ndarray
+    # texture phase offsets per plane [P, 2] to decorrelate the walls
+    tex_phase: jnp.ndarray
+
+
+def default_scene(
+    ground_y: float = 1.5,
+    wall_x: float = 8.0,
+    front_z: float = 60.0,
+    back_z: float = -20.0,
+    ceil_y: float = -6.0,
+) -> SyntheticScene:
+    normals = jnp.array(
+        [
+            [0.0, 1.0, 0.0],   # ground (y = ground_y, below camera)
+            [1.0, 0.0, 0.0],   # right wall x = +wall_x
+            [-1.0, 0.0, 0.0],  # left wall  x = -wall_x -> -x = wall_x
+            [0.0, 0.0, 1.0],   # front wall z = front_z
+            [0.0, 0.0, -1.0],  # back wall  z = back_z
+            [0.0, -1.0, 0.0],  # ceiling y = ceil_y
+        ],
+        dtype=jnp.float32,
+    )
+    offsets = jnp.array(
+        [ground_y, wall_x, wall_x, front_z, -back_z, -ceil_y], dtype=jnp.float32
+    )
+    tex_phase = jnp.array(
+        [[0.0, 0.0], [1.7, 0.4], [3.1, 2.2], [0.9, 4.0], [2.5, 1.1], [4.2, 3.3]],
+        dtype=jnp.float32,
+    )
+    return SyntheticScene(normals, offsets, tex_phase)
+
+
+def _texture(p: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+    """World position [..., 3] + per-plane phase [..., 2] -> intensity.
+    Multi-frequency smooth pattern, range ~[10, 245]."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    a, b = phase[..., 0], phase[..., 1]
+    val = (
+        0.45 * jnp.sin(0.9 * x + 1.3 * z + a)
+        + 0.30 * jnp.cos(1.7 * z - 0.8 * y + b)
+        + 0.15 * jnp.sin(3.1 * x - 2.3 * y + 0.7 * z + a + b)
+        + 0.10 * jnp.cos(6.1 * x + 5.3 * z - 1.1 * y + 2.0 * a)
+    )
+    return 128.0 + 115.0 * val
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def render(
+    scene: SyntheticScene,
+    T_wc: jnp.ndarray,       # [4, 4] camera-to-world
+    K: jnp.ndarray,          # [3, 3]
+    width: int,
+    height: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (image [H, W] float32, depth [H, W] float32 camera-z depth)."""
+    R = T_wc[:3, :3]
+    o = T_wc[:3, 3]
+    us, vs = jnp.meshgrid(
+        jnp.arange(width, dtype=jnp.float32), jnp.arange(height, dtype=jnp.float32)
+    )
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    d_cam = jnp.stack(
+        [(us - cx) / fx, (vs - cy) / fy, jnp.ones_like(us)], axis=-1
+    )  # [H, W, 3], z = 1 so camera depth = ray parameter t
+    d_world = d_cam @ R.T
+
+    n = scene.normals          # [P, 3]
+    c = scene.offsets          # [P]
+    denom = d_world @ n.T                               # [H, W, P]
+    numer = c[None, None, :] - (o @ n.T)[None, None, :]  # [H, W, P]
+    t = jnp.where(jnp.abs(denom) > 1e-8, numer / denom, jnp.inf)
+    t = jnp.where(t > 0.1, t, jnp.inf)
+    t_hit = jnp.min(t, axis=-1)                          # [H, W]
+    plane_idx = jnp.argmin(t, axis=-1)
+
+    p_world = o[None, None, :] + d_world * t_hit[..., None]
+    phase = scene.tex_phase[plane_idx]
+    img = _texture(p_world, phase)
+    img = jnp.clip(img, 0.0, 255.0)
+    depth = t_hit  # camera z-depth since d_cam z == 1
+    return img, depth
+
+
+def kitti_like_intrinsics(width: int = 320, height: int = 96, f: float = 0.58):
+    """Small KITTI-ish camera for tests; f is focal relative to width."""
+    fx = f * width
+    fy = fx
+    cx = width / 2 - 0.5
+    cy = height / 2 - 0.5
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], dtype=np.float32)
+
+
+def forward_trajectory(n_frames: int, speed: float = 0.3, yaw_rate: float = 0.0):
+    """Simple constant-velocity trajectory: camera-to-world poses [N, 4, 4]."""
+    poses = []
+    T = np.eye(4, dtype=np.float32)
+    for _ in range(n_frames):
+        poses.append(T.copy())
+        step = np.asarray(
+            lie.se3_exp(
+                jnp.array([0, 0, speed, 0, yaw_rate, 0], dtype=jnp.float32)
+            )
+        )
+        T = T @ step
+    return np.stack(poses)
+
+
+def loop_trajectory(n_frames: int, radius: float = 12.0):
+    """Closed circular trajectory in the x-z plane (revisits the start),
+    for loop-closure tests."""
+    poses = []
+    for i in range(n_frames):
+        ang = 2.0 * np.pi * i / n_frames
+        # camera position on circle, looking along the tangent
+        cx_ = radius * np.sin(ang)
+        cz_ = radius * (1.0 - np.cos(ang))
+        yaw = ang
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]], dtype=np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = [cx_, 0.0, cz_]
+        poses.append(T)
+    return np.stack(poses)
+
+
+class SyntheticStereoDataset:
+    """Iterable stereo dataset: frames ((img0, img1), timestamp, gt pose).
+
+    tfm_cam1_cam0 follows the reference convention: pose of cam0 in cam1
+    frame (T_stereo, README.md:58); default KITTI-like baseline 0.54 m.
+    """
+
+    def __init__(
+        self,
+        n_frames: int = 60,
+        width: int = 320,
+        height: int = 96,
+        baseline: float = 0.54,
+        trajectory: str = "forward",
+        speed: float = 0.3,
+        fps: float = 10.0,
+        scene: SyntheticScene | None = None,
+        yaw_rate: float = 0.0,
+    ):
+        self.K = kitti_like_intrinsics(width, height)
+        self.width, self.height = width, height
+        self.scene = scene if scene is not None else default_scene()
+        self.fps = fps
+        if trajectory == "forward":
+            self.poses = forward_trajectory(n_frames, speed, yaw_rate)
+        elif trajectory == "loop":
+            self.poses = loop_trajectory(n_frames)
+        else:
+            raise ValueError(trajectory)
+        self.t_cam1_cam0 = np.eye(4, dtype=np.float32)
+        self.t_cam1_cam0[0, 3] = -baseline
+        self.t_cam1_cam0[2, 3] = 1e-9  # reference numerical-stability quirk
+
+    def __len__(self):
+        return len(self.poses)
+
+    def frame(self, i: int):
+        T_w_c0 = jnp.asarray(self.poses[i])
+        # cam1-to-world = cam0-to-world @ (cam1-to-cam0)
+        T_w_c1 = T_w_c0 @ jnp.asarray(np.linalg.inv(self.t_cam1_cam0))
+        img0, depth0 = render(self.scene, T_w_c0, jnp.asarray(self.K), self.width, self.height)
+        img1, _ = render(self.scene, T_w_c1, jnp.asarray(self.K), self.width, self.height)
+        return {
+            "img0": img0,
+            "img1": img1,
+            "depth0": depth0,
+            "timestamp": i / self.fps,
+            "pose_w_c0": self.poses[i],
+            "incoming_id": i,
+        }
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)

@@ -1,0 +1,21 @@
+"""Test harness: force an 8-device virtual CPU platform so sharding tests run
+without TPU hardware, and keep numerics deterministic.
+
+Note: this environment pins JAX_PLATFORMS=axon (TPU) via sitecustomize, so
+the env var alone is not enough — jax.config must be updated post-import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

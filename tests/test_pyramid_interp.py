@@ -1,0 +1,60 @@
+import jax.numpy as jnp
+import numpy as np
+
+from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
+from direct_stereo_slam_tpu.ops.interp import bilinear_gather, bilinear_gather_scalar
+
+
+def test_pyramid_shapes():
+    img = jnp.zeros((64, 96), dtype=jnp.float32)
+    pyr = build_pyramid(img, 4)
+    assert pyr.levels == 4
+    assert pyr.data[0].shape == (64, 96, 3)
+    assert pyr.data[1].shape == (32, 48, 3)
+    assert pyr.data[3].shape == (8, 12, 3)
+
+
+def test_pyramid_downsample_is_mean():
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 16).astype(np.float32) * 255
+    pyr = build_pyramid(jnp.asarray(img), 2)
+    lvl1 = np.asarray(pyr.data[1][..., 0])
+    manual = img.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(lvl1, manual, atol=1e-4)
+
+
+def test_pyramid_gradients_linear_ramp():
+    # I(x, y) = 3x + 2y -> dx = 3, dy = 2 away from borders
+    ys, xs = np.mgrid[0:32, 0:32]
+    img = (3.0 * xs + 2.0 * ys).astype(np.float32)
+    pyr = build_pyramid(jnp.asarray(img), 1)
+    dx = np.asarray(pyr.data[0][..., 1])
+    dy = np.asarray(pyr.data[0][..., 2])
+    np.testing.assert_allclose(dx[5:-5, 5:-5], 3.0, atol=1e-4)
+    np.testing.assert_allclose(dy[5:-5, 5:-5], 2.0, atol=1e-4)
+
+
+def test_bilinear_matches_manual():
+    rng = np.random.RandomState(1)
+    img = rng.rand(16, 16, 3).astype(np.float32)
+    u, v = 4.3, 7.6
+    out = np.asarray(bilinear_gather(jnp.asarray(img), jnp.float32(u), jnp.float32(v)))
+    ix, iy = int(u), int(v)
+    fx, fy = u - ix, v - iy
+    manual = (
+        img[iy, ix] * (1 - fx) * (1 - fy)
+        + img[iy, ix + 1] * fx * (1 - fy)
+        + img[iy + 1, ix] * (1 - fx) * fy
+        + img[iy + 1, ix + 1] * fx * fy
+    )
+    np.testing.assert_allclose(out, manual, rtol=1e-5)
+
+
+def test_bilinear_batched():
+    rng = np.random.RandomState(2)
+    img = rng.rand(8, 8).astype(np.float32)
+    us = jnp.array([1.5, 2.25, 3.0])
+    vs = jnp.array([2.5, 0.75, 4.0])
+    out = bilinear_gather_scalar(jnp.asarray(img), us, vs)
+    assert out.shape == (3,)
+    np.testing.assert_allclose(float(out[2]), img[4, 3], atol=1e-6)

@@ -1,0 +1,277 @@
+"""Validate the fused residual/Jacobian/Hessian passes against autodiff of an
+independent residual implementation (SURVEY.md §4: 'residual/Jacobian vs
+autodiff finite-difference')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from direct_stereo_slam_tpu.geometry import lie
+from direct_stereo_slam_tpu.ops.interp import bilinear_gather
+from direct_stereo_slam_tpu.ops.residual_hb import (
+    POSE_PRECOND,
+    pose_residual_pass,
+    pose3d_residual_pass,
+    scale_residual_pass,
+)
+
+W, H = 96, 64
+FX, FY, CX, CY = 80.0, 80.0, W / 2 - 0.5, H / 2 - 0.5
+K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1.0]])
+KI = np.linalg.inv(K)
+HUBER = 9.0
+
+
+def smooth_image(w=W, h=H):
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    # smooth texture: the fused pass uses interpolated central-difference
+    # gradients (the DSO approximation); autodiff differentiates the bilinear
+    # interpolant itself. They only agree well when texture curvature is low.
+    img = 80 + 40 * np.sin(xs / 15.0) + 30 * np.cos(ys / 12.0) + 10 * np.sin((xs + ys) / 21.0)
+    dx = np.zeros_like(img)
+    dy = np.zeros_like(img)
+    dx[:, 1:-1] = 0.5 * (img[:, 2:] - img[:, :-2])
+    dy[1:-1, :] = 0.5 * (img[2:, :] - img[:-2, :])
+    return jnp.asarray(np.stack([img, dx, dy], axis=-1))
+
+
+def make_points(n=200, seed=0):
+    rng = np.random.RandomState(seed)
+    pu = rng.uniform(8, W - 8, n).astype(np.float32)
+    pv = rng.uniform(8, H - 8, n).astype(np.float32)
+    pid = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    return jnp.asarray(pu), jnp.asarray(pv), jnp.asarray(pid)
+
+
+def independent_pose_residuals(img, pu, pv, pid, pcolor, T, aff_ab, ref_b0):
+    """Plain-JAX reimplementation of calcResPose's residual, used as autodiff
+    ground truth. T: [4,4] ref->new. aff_ab: (a_rel, b_rel)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    RKi = R @ jnp.asarray(KI, dtype=jnp.float32)
+    xyz = jnp.stack([pu, pv, jnp.ones_like(pu)], -1)
+    pt = xyz @ RKi.T + t[None, :] * pid[:, None]
+    u = pt[:, 0] / pt[:, 2]
+    v = pt[:, 1] / pt[:, 2]
+    Ku = FX * u + CX
+    Kv = FY * v + CY
+    hit = bilinear_gather(img, Ku, Kv)
+    return hit[:, 0] - (aff_ab[0] * pcolor + aff_ab[1])
+
+
+class TestPosePass:
+    def setup_method(self):
+        self.img = smooth_image()
+        self.pu, self.pv, self.pid = make_points()
+        # reference colors: sample the image at the points with a known small
+        # warp so residuals are nonzero but unsaturated
+        self.T = lie.se3_exp(
+            jnp.array([0.02, -0.01, 0.015, 0.004, -0.006, 0.003], dtype=jnp.float32)
+        )
+        self.pcolor = bilinear_gather(self.img, self.pu, self.pv)[:, 0]
+        self.mask = jnp.ones_like(self.pu, dtype=bool)
+
+    def run_pass(self, cutoff=1e6):
+        R = self.T[:3, :3]
+        t = self.T[:3, 3]
+        return pose_residual_pass(
+            self.img, self.pu, self.pv, self.pid, self.pcolor, self.mask,
+            R @ jnp.asarray(KI, dtype=jnp.float32), jnp.asarray(KI, dtype=jnp.float32),
+            t, jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            FX, FY, CX, CY, HUBER, jnp.float32(cutoff),
+        )
+
+    def test_identity_warp_zero_residual(self):
+        out = pose_residual_pass(
+            self.img, self.pu, self.pv, self.pid, self.pcolor, self.mask,
+            jnp.asarray(KI, dtype=jnp.float32), jnp.asarray(KI, dtype=jnp.float32),
+            jnp.zeros(3), jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            FX, FY, CX, CY, HUBER, jnp.float32(20.0),
+        )
+        assert float(out.stats.E) < 1e-4
+        assert float(out.stats.num_terms) == self.pu.shape[0]
+
+    def test_b_matches_autodiff_gradient(self):
+        """b (unpreconditioned) must equal the gradient of the frozen-weight
+        half-quadratic energy wrt the 8-param left increment at 0."""
+        out = self.run_pass()
+        # frozen Huber weights from the pass state
+        r0 = independent_pose_residuals(
+            self.img, self.pu, self.pv, self.pid, self.pcolor, self.T,
+            (jnp.float32(1.0), jnp.float32(0.0)), jnp.float32(0.0),
+        )
+        hw = jnp.where(jnp.abs(r0) < HUBER, 1.0, HUBER / jnp.abs(r0))
+        n = self.pu.shape[0]
+
+        def energy(delta):
+            # delta: [8] = [t(3), w(3), da, db]; DSO affine increment:
+            # a_rel' = exp(da) * a_rel, b_rel' = b_rel + db ... the reference
+            # updates (a,b) of the g2l params; with ref at (0,0) and equal
+            # exposures, a_rel = exp(a_new), b_rel = b_new - a_rel * b_ref.
+            T_new = lie.se3_exp(delta[:6]) @ self.T
+            a_rel = jnp.exp(delta[6])
+            b_rel = delta[7]
+            r = independent_pose_residuals(
+                self.img, self.pu, self.pv, self.pid, self.pcolor, T_new,
+                (a_rel, b_rel), jnp.float32(0.0),
+            )
+            return 0.5 * jnp.sum(jax.lax.stop_gradient(hw) * r * r) / n
+
+        g = jax.grad(energy)(jnp.zeros(8))
+        b_unprecond = np.asarray(out.b) / np.asarray(POSE_PRECOND)
+        np.testing.assert_allclose(np.asarray(g), b_unprecond, rtol=2e-2, atol=2e-3)
+
+    def test_H_matches_autodiff_JtWJ(self):
+        out = self.run_pass()
+        r0 = independent_pose_residuals(
+            self.img, self.pu, self.pv, self.pid, self.pcolor, self.T,
+            (jnp.float32(1.0), jnp.float32(0.0)), jnp.float32(0.0),
+        )
+        hw = jnp.where(jnp.abs(r0) < HUBER, 1.0, HUBER / jnp.abs(r0))
+        n = self.pu.shape[0]
+
+        def res_vec(delta):
+            T_new = lie.se3_exp(delta[:6]) @ self.T
+            a_rel = jnp.exp(delta[6])
+            b_rel = delta[7]
+            return independent_pose_residuals(
+                self.img, self.pu, self.pv, self.pid, self.pcolor, T_new,
+                (a_rel, b_rel), jnp.float32(0.0),
+            )
+
+        J = jax.jacfwd(res_vec)(jnp.zeros(8))  # [N, 8]
+        H_auto = (J * hw[:, None]).T @ J / n
+        H_unprecond = np.asarray(out.H) / (
+            np.asarray(POSE_PRECOND)[:, None] * np.asarray(POSE_PRECOND)[None, :]
+        )
+        # The pass uses image gradients from the bilinear hit (the DSO
+        # approximation); autodiff differentiates the interpolation itself.
+        # They agree closely on a smooth image; near-zero entries need an
+        # absolute tolerance scaled to the Hessian magnitude.
+        atol = 1e-3 * np.abs(H_unprecond).max()
+        np.testing.assert_allclose(np.asarray(H_auto), H_unprecond, rtol=5e-2, atol=atol)
+
+    def test_gn_step_reduces_energy(self):
+        out = self.run_pass(cutoff=20.0)
+        H = np.asarray(out.H, dtype=np.float64)
+        b = np.asarray(out.b, dtype=np.float64)
+        inc = np.linalg.solve(H[:6, :6] + 1e-6 * np.eye(6), -b[:6])
+        inc_scaled = inc * np.asarray(POSE_PRECOND)[:6]
+        T_new = lie.se3_exp(jnp.asarray(inc_scaled, dtype=jnp.float32)) @ self.T
+        r_old = independent_pose_residuals(
+            self.img, self.pu, self.pv, self.pid, self.pcolor, self.T,
+            (jnp.float32(1.0), jnp.float32(0.0)), jnp.float32(0.0),
+        )
+        r_new = independent_pose_residuals(
+            self.img, self.pu, self.pv, self.pid, self.pcolor, T_new,
+            (jnp.float32(1.0), jnp.float32(0.0)), jnp.float32(0.0),
+        )
+        assert float(jnp.sum(r_new**2)) < float(jnp.sum(r_old**2))
+
+
+class TestScalePass:
+    def test_scale_jacobian_matches_autodiff(self):
+        img1 = smooth_image()
+        pu, pv, pid = make_points(150, seed=3)
+        pcolor = bilinear_gather(img1, pu, pv)[:, 0]
+        mask = jnp.ones_like(pu, dtype=bool)
+        # stereo geometry: identity rotation, baseline along -x (KITTI-like)
+        R01 = jnp.eye(3, dtype=jnp.float32)
+        t01 = jnp.array([-0.54, 0.0, 1e-9], dtype=jnp.float32)
+        R01Ki = R01 @ jnp.asarray(KI, dtype=jnp.float32)
+        scale = jnp.float32(1.3)
+
+        out = scale_residual_pass(
+            img1, pu, pv, pid, pcolor, mask, R01Ki,
+            jnp.asarray(KI, dtype=jnp.float32), t01, scale,
+            FX, FY, CX, CY, HUBER, jnp.float32(1e6),
+        )
+
+        def res_vec(s):
+            xyz = jnp.stack([pu, pv, jnp.ones_like(pu)], -1)
+            pt = s * (xyz @ R01Ki.T) + t01[None, :] * pid[:, None]
+            u = pt[:, 0] / pt[:, 2]
+            v = pt[:, 1] / pt[:, 2]
+            hit = bilinear_gather(img1, FX * u + CX, FY * v + CY)
+            return hit[:, 0] - pcolor
+
+        r0 = res_vec(scale)
+        hw = jnp.where(jnp.abs(r0) < HUBER, 1.0, HUBER / jnp.abs(r0))
+        J = jax.jacfwd(res_vec)(scale)
+        # replicate the pass's in-bounds mask (it drops OOB lanes)
+        xyz = jnp.stack([pu, pv, jnp.ones_like(pu)], -1)
+        pt = scale * (xyz @ R01Ki.T) + t01[None, :] * pid[:, None]
+        Ku = FX * pt[:, 0] / pt[:, 2] + CX
+        Kv = FY * pt[:, 1] / pt[:, 2] + CY
+        vm = ((Ku > 2) & (Kv > 2) & (Ku < W - 3) & (Kv < H - 3)).astype(jnp.float32)
+        n = float(jnp.sum(vm))
+        H_auto = float(jnp.sum(vm * hw * J * J) / n)
+        b_auto = float(jnp.sum(vm * hw * J * r0) / n)
+        assert np.isclose(float(out.H), H_auto, rtol=5e-2)
+        assert np.isclose(float(out.b), b_auto, rtol=5e-2, atol=1e-2)
+
+    def test_scale_recovery_1dof(self):
+        """Newton iteration on the pass's H,b recovers the true stereo scale."""
+        img1 = smooth_image()
+        pu, pv, pid_true = make_points(300, seed=4)
+        mask = jnp.ones_like(pu, dtype=bool)
+        R01 = jnp.eye(3, dtype=jnp.float32)
+        t01 = jnp.array([-0.54, 0.0, 1e-9], dtype=jnp.float32)
+        Ki = jnp.asarray(KI, dtype=jnp.float32)
+        R01Ki = R01 @ Ki
+
+        # Render ref colors by sampling img1 at the TRUE warp (scale=1):
+        xyz = jnp.stack([pu, pv, jnp.ones_like(pu)], -1)
+        pt = (xyz @ R01Ki.T) + t01[None, :] * pid_true[:, None]
+        Ku = FX * pt[:, 0] / pt[:, 2] + CX
+        Kv = FY * pt[:, 1] / pt[:, 2] + CY
+        pcolor = bilinear_gather(img1, Ku, Kv)[:, 0]
+
+        # The template idepths are wrong by a factor 1/s_true; optimizing the
+        # scale of the template point cloud should find s_true.
+        s_true = 1.25
+        pid_template = pid_true * s_true  # template thinks points are closer
+
+        # warp with scale s: pt = s * RKi x + t * id_template. At
+        # s == 1/s_true * ... — run Newton and check the residual minimum.
+        s = jnp.float32(0.7)
+        for _ in range(20):
+            out = scale_residual_pass(
+                img1, pu, pv, pid_template, pcolor, mask, R01Ki, Ki, t01, s,
+                FX, FY, CX, CY, HUBER, jnp.float32(1e6),
+            )
+            step = -float(out.b) / (float(out.H) + 1e-12)
+            s = s + jnp.float32(np.clip(step, -0.2, 0.2))
+        # residual zero when s * RKi x + t*id_t == RKi x + t*id_true pointwise
+        # => s = ... verify by energy, not closed form: energy must be tiny
+        out = scale_residual_pass(
+            img1, pu, pv, pid_template, pcolor, mask, R01Ki, Ki, t01, s,
+            FX, FY, CX, CY, HUBER, jnp.float32(1e6),
+        )
+        assert float(out.stats.mean_energy) < 1.0
+
+
+class TestPose3dPass:
+    def test_matches_pose_pass_geometry(self):
+        img = smooth_image()
+        pu, pv, pid = make_points(100, seed=5)
+        pcolor = bilinear_gather(img, pu, pv)[:, 0]
+        mask = jnp.ones_like(pu, dtype=bool)
+        Ki = jnp.asarray(KI, dtype=jnp.float32)
+        T = lie.se3_exp(jnp.array([0.01, 0.0, -0.01, 0.002, 0.0, 0.001], dtype=jnp.float32))
+        R, t = T[:3, :3], T[:3, 3]
+        # 3D points equivalent to (pu, pv, idepth)
+        xyz = (jnp.stack([pu, pv, jnp.ones_like(pu)], -1) @ Ki.T) / pid[:, None]
+        out3d = pose3d_residual_pass(
+            img, xyz[:, 0], xyz[:, 1], xyz[:, 2], pcolor, mask, R, t,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            FX, FY, CX, CY, HUBER, jnp.float32(1e6),
+        )
+        out2d = pose_residual_pass(
+            img, pu, pv, pid, pcolor, mask, R @ Ki, Ki, t,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            FX, FY, CX, CY, HUBER, jnp.float32(1e6), compute_flow=False,
+        )
+        np.testing.assert_allclose(float(out3d.stats.E), float(out2d.stats.E), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out3d.H), np.asarray(out2d.H), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out3d.b), np.asarray(out2d.b), rtol=1e-3, atol=1e-5)
