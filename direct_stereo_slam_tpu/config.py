@@ -111,7 +111,9 @@ class BAConfig:
     initial_aff_b_prior: float = 1e14
     initial_calib_hessian: float = 5e9
     idepth_fix_prior: float = 50.0 * 50.0
-    solver_force_accept_step: bool = True  # setting_forceAceptStep
+    # False: energy-gated LM accept (stable with exact gauge elimination);
+    # True: DSO's force-accept scheme.
+    solver_force_accept_step: bool = False
     marg_weight_fac: float = 0.25          # setting_margWeightFac = 0.5^2
     min_idepth_h_act: float = 100.0        # setting_minIdepthH_act
     min_idepth_h_marg: float = 50.0        # setting_minIdepthH_marg

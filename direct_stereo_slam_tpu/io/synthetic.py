@@ -68,11 +68,15 @@ def _texture(p: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
     Multi-frequency smooth pattern, range ~[10, 245]."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     a, b = phase[..., 0], phase[..., 1]
+    # Frequencies kept low enough that bilinear resampling bias (which the
+    # 8-pattern photometric BA is sensitive to on slanted planes) stays well
+    # below the signal; raising them makes the synthetic world "sharper" but
+    # biases all direct-alignment optima.
     val = (
-        0.45 * jnp.sin(0.9 * x + 1.3 * z + a)
-        + 0.30 * jnp.cos(1.7 * z - 0.8 * y + b)
-        + 0.15 * jnp.sin(3.1 * x - 2.3 * y + 0.7 * z + a + b)
-        + 0.10 * jnp.cos(6.1 * x + 5.3 * z - 1.1 * y + 2.0 * a)
+        0.45 * jnp.sin(0.45 * x + 0.65 * z + a)
+        + 0.30 * jnp.cos(0.85 * z - 0.4 * y + b)
+        + 0.15 * jnp.sin(1.55 * x - 1.15 * y + 0.35 * z + a + b)
+        + 0.10 * jnp.cos(3.05 * x + 2.65 * z - 0.55 * y + 2.0 * a)
     )
     return 128.0 + 115.0 * val
 

@@ -1,0 +1,814 @@
+"""Windowed photometric bundle adjustment — the TPU-native EnergyFunctional.
+
+Reimplements the functionality of DSO's ``EnergyFunctional`` (the external
+windowed-BA backend the reference links against, SURVEY.md §2.2) together
+with the reference's driver logic in FrontEndOptimize.cpp:332-494: sliding
+window of up to W keyframes x NP active points, 8-pixel-pattern photometric
+residuals between every (point, target-frame) pair, Gauss-Newton with
+first-estimate Jacobians, closed-form Schur complement over inverse depths,
+quadratic marginalization prior (HM, bM) maintained by point- and
+frame-marginalization, per-frame energy thresholds from a residual
+percentile (FrontEndOptimize.cpp:79-120), and DSO's default force-accept
+iteration scheme with step-size convergence test
+(FrontEndOptimize.cpp:182-258, 385-453).
+
+Layout (all fixed shapes, masked):
+
+* frame slots ``[W]``: worldToCam FEJ pose ``T_zero``, additive tangent
+  delta ``[W, 8]`` = (trans3, rot3, aff_a, aff_b) — exactly DSO's
+  ``FrameHessian::state`` convention (current pose = exp(delta[:6]) @ T_zero)
+* global point pool ``[NP]`` hosted via ``p_host`` slot indices
+* frame-parameter vector dimension ``D = 4 + 8 W`` (calib first, DSO's CPARS)
+* residual grid ``[NP, W]`` — every point against every frame slot, masked
+  (replaces DSO's per-point residual vectors)
+
+The whole linearize->assemble->Schur->solve->update iteration is one jitted
+program; the Hessian assembly is a single ``[R, D]^T [R, D]`` matmul on the
+MXU (R = NP * W * 8 pattern pixel-rows).
+
+Deviations from DSO (documented):
+* gauge: instead of DSO's first-keyframe prior + 7-dim nullspace
+  orthogonalization (FrontEndOptimize.cpp:525-574), the oldest keyframe's
+  variables are eliminated exactly from every solve (``_free_mask``), the
+  remaining global-scale direction is projected out of each step
+  (``_nullspaces``), and the anchoring transfers into HM with a strong
+  prior when the anchor frame is marginalized. This combination is exact
+  where DSO's is iterative, and is stable under the energy-gated LM accept
+  (DSO's hard prior + projection + force-accept interact pathologically
+  with an energy gate).
+* ``setting_solverMode`` momentum variants are not implemented; both the
+  energy-gated accept (default) and DSO's force-accept scheme are.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    PATTERN_OFFSETS,
+    SCALE_A,
+    SCALE_B,
+    SCALE_C,
+    SCALE_F,
+    SCALE_XI_ROT,
+    SCALE_XI_TRANS,
+    SLAMConfig,
+)
+from ..geometry import lie
+from ..ops.interp import bilinear_gather
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# state
+# ---------------------------------------------------------------------------
+
+
+class BAState(NamedTuple):
+    # frames ------------------------------------------------------------
+    frame_valid: jnp.ndarray     # [W] bool
+    frame_id: jnp.ndarray        # [W] int32 global KF id (-1 = empty)
+    T_zero: jnp.ndarray          # [W, 4, 4] worldToCam at FEJ point
+    delta: jnp.ndarray           # [W, 8] additive state (t3, r3, a, b)
+    aff_zero: jnp.ndarray        # [W, 2] affine zero point
+    exposure: jnp.ndarray        # [W]
+    images: jnp.ndarray          # [W, H, W0, 3] level-0 (I, dx, dy)
+    energy_th: jnp.ndarray       # [W] frame energy threshold
+    # calib --------------------------------------------------------------
+    calib_zero: jnp.ndarray      # [4] fx fy cx cy at FEJ
+    calib_delta: jnp.ndarray     # [4]
+    # points -------------------------------------------------------------
+    p_valid: jnp.ndarray         # [NP] bool
+    p_host: jnp.ndarray          # [NP] int32 frame slot
+    p_u: jnp.ndarray             # [NP]
+    p_v: jnp.ndarray             # [NP]
+    p_idepth: jnp.ndarray        # [NP] current
+    p_idepth_zero: jnp.ndarray   # [NP] FEJ
+    p_color: jnp.ndarray         # [NP, 8] host pattern intensities
+    p_weight: jnp.ndarray        # [NP, 8] gradient weights
+    p_prior: jnp.ndarray         # [NP] idepth prior strength (init points)
+    p_res_good: jnp.ndarray      # [NP, W] bool residual active mask
+    # marginalization prior over [D = 4 + 8 W] ---------------------------
+    HM: jnp.ndarray              # [D, D]
+    bM: jnp.ndarray              # [D]
+
+    @property
+    def num_slots(self) -> int:
+        return self.frame_valid.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.p_valid.shape[0]
+
+    def T_current(self) -> jnp.ndarray:
+        """[W, 4, 4] current worldToCam = exp(delta) @ T_zero."""
+        return jnp.matmul(lie.se3_exp(self.delta[:, :6]), self.T_zero, precision=_HI)
+
+    def aff_current(self) -> jnp.ndarray:
+        return self.aff_zero + self.delta[:, 6:8]
+
+    def calib_current(self) -> jnp.ndarray:
+        return self.calib_zero + self.calib_delta
+
+
+def empty_state(n_slots: int, n_points: int, h: int, w: int, calib: np.ndarray) -> BAState:
+    D = 4 + 8 * n_slots
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_slots, 4, 4))
+    return BAState(
+        frame_valid=jnp.zeros(n_slots, bool),
+        frame_id=-jnp.ones(n_slots, jnp.int32),
+        T_zero=eye,
+        delta=jnp.zeros((n_slots, 8), jnp.float32),
+        aff_zero=jnp.zeros((n_slots, 2), jnp.float32),
+        exposure=jnp.ones(n_slots, jnp.float32),
+        images=jnp.zeros((n_slots, h, w, 3), jnp.float32),
+        energy_th=jnp.full((n_slots,), 12.0 * 12.0 * 8.0, jnp.float32),
+        calib_zero=jnp.asarray(calib, jnp.float32),
+        calib_delta=jnp.zeros(4, jnp.float32),
+        p_valid=jnp.zeros(n_points, bool),
+        p_host=jnp.zeros(n_points, jnp.int32),
+        p_u=jnp.zeros(n_points, jnp.float32),
+        p_v=jnp.zeros(n_points, jnp.float32),
+        p_idepth=jnp.ones(n_points, jnp.float32),
+        p_idepth_zero=jnp.ones(n_points, jnp.float32),
+        p_color=jnp.zeros((n_points, 8), jnp.float32),
+        p_weight=jnp.ones((n_points, 8), jnp.float32),
+        p_prior=jnp.zeros(n_points, jnp.float32),
+        p_res_good=jnp.zeros((n_points, n_slots), bool),
+        HM=jnp.zeros((D, D), jnp.float32),
+        bM=jnp.zeros(D, jnp.float32),
+    )
+
+
+# state-vector preconditioner: [calib(4) | per-frame (t3 r3 a b)]
+def _precond(n_slots: int) -> jnp.ndarray:
+    per_frame = [SCALE_XI_TRANS] * 3 + [SCALE_XI_ROT] * 3 + [SCALE_A, SCALE_B]
+    return jnp.asarray([SCALE_F, SCALE_F, SCALE_C, SCALE_C] + per_frame * n_slots,
+                       dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# linearization
+# ---------------------------------------------------------------------------
+
+
+class Linearization(NamedTuple):
+    Hff: jnp.ndarray     # [D, D] frame/calib GN Hessian (unpreconditioned)
+    bf: jnp.ndarray      # [D]
+    Hfd: jnp.ndarray     # [NP, D] frame-idepth coupling
+    Hdd: jnp.ndarray     # [NP] idepth Hessian (incl. point prior)
+    bd: jnp.ndarray      # [NP]
+    energy: jnp.ndarray  # scalar photometric energy (active residuals)
+    pair_energy: jnp.ndarray  # [NP, W] per-residual energy (for thresholds)
+    pair_good: jnp.ndarray    # [NP, W] residual passed cutoff/oob checks
+    num_terms: jnp.ndarray    # scalar
+
+
+def _pattern_uv(u, v):
+    """[..., 8] pattern coordinates (DSO staticPattern #8)."""
+    du = jnp.asarray([o[0] for o in PATTERN_OFFSETS], jnp.float32)
+    dv = jnp.asarray([o[1] for o in PATTERN_OFFSETS], jnp.float32)
+    return u[..., None] + du, v[..., None] + dv
+
+
+def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
+    """Linearize all (point, target) residuals at the current state with
+    first-estimate Jacobians (geometry at zero states, photometric residual
+    at current states) — DSO PointFrameResidual::linearize equivalent for
+    the whole window at once."""
+    W = state.num_slots
+    NP = state.num_points
+    D = 4 + 8 * W
+    Himg, Wimg = state.images.shape[1], state.images.shape[2]
+    huber = cfg.ba.huber_th
+
+    fx0, fy0, cx0, cy0 = state.calib_zero
+    fxc, fyc, cxc, cyc = state.calib_current()
+
+    T_cur = state.T_current()                     # [W,4,4] worldToCam
+    T_zero = state.T_zero
+    aff = state.aff_current()                     # [W,2]
+
+    # relative transforms for every (host, target) slot pair -------------
+    T_wc_cur = jax.vmap(lie.se3_inverse)(T_cur)   # camToWorld current
+    T_wc_zero = jax.vmap(lie.se3_inverse)(T_zero)
+    # T_th[t, h] = T_cur[t] @ inv(T_cur[h])
+    Tth_cur = jnp.einsum("tij,hjk->thik", T_cur, T_wc_cur, precision=_HI)
+    Tth_zero = jnp.einsum("tij,hjk->thik", T_zero, T_wc_zero, precision=_HI)
+
+    # per-point host data -------------------------------------------------
+    h_idx = state.p_host                          # [NP]
+    pu8, pv8 = _pattern_uv(state.p_u, state.p_v)  # [NP, 8]
+
+    # back-projection at CURRENT calib/idepth for the residual warp,
+    # and at ZERO calib/idepth for the Jacobian geometry.
+    def backproj(u8, v8, idepth, fx, fy, cx, cy):
+        x = (u8 - cx) / fx
+        y = (v8 - cy) / fy
+        z = jnp.ones_like(x)
+        return jnp.stack([x, y, z], -1) / idepth[..., None, None].squeeze(-1)
+
+    id_cur = jnp.maximum(state.p_idepth, 1e-6)
+    id_zero = jnp.maximum(state.p_idepth_zero, 1e-6)
+    Xh_cur = jnp.stack(
+        [(pu8 - cxc) / fxc, (pv8 - cyc) / fyc, jnp.ones_like(pu8)], -1
+    ) / id_cur[:, None, None]                     # [NP, 8, 3]
+    Xh_zero = jnp.stack(
+        [(pu8 - cx0) / fx0, (pv8 - cy0) / fy0, jnp.ones_like(pu8)], -1
+    ) / id_zero[:, None, None]
+
+    # gather per-point relative transforms to each target ----------------
+    # explicit take to avoid NumPy's position-dependent advanced-indexing
+    # placement rules: Tth_ph[p, t] = Tth[t, h_idx[p]]
+    Tth_cur_ph = jnp.take(Tth_cur, h_idx, axis=1).transpose(1, 0, 2, 3)
+    Tth_zero_ph = jnp.take(Tth_zero, h_idx, axis=1).transpose(1, 0, 2, 3)
+    Rth_cur = Tth_cur_ph[..., :3, :3]            # [NP, W, 3, 3]
+    tth_cur = Tth_cur_ph[..., :3, 3]             # [NP, W, 3]
+    Rth_zero = Tth_zero_ph[..., :3, :3]
+    tth_zero = Tth_zero_ph[..., :3, 3]
+
+    # warp: current (residual) and zero (jacobian geometry)
+    pt_cur = jnp.einsum("ptij,pkj->ptki", Rth_cur, Xh_cur, precision=_HI) + tth_cur[:, :, None, :]
+    pt_zero = jnp.einsum("ptij,pkj->ptki", Rth_zero, Xh_zero, precision=_HI) + tth_zero[:, :, None, :]
+
+    z_cur = pt_cur[..., 2]
+    un_cur = pt_cur[..., 0] / z_cur
+    vn_cur = pt_cur[..., 1] / z_cur
+    Ku = fxc * un_cur + cxc                       # [NP, W, 8]
+    Kv = fyc * vn_cur + cyc
+
+    in_bounds = (
+        (Ku > 1.1) & (Kv > 1.1) & (Ku < Wimg - 2.1) & (Kv < Himg - 2.1) & (z_cur > 1e-4)
+    )
+
+    # gather target intensities/gradients: vmap bilinear over frame slots
+    def gather_frame(img, u, v):
+        return bilinear_gather(img, u, v)         # [NP, 8, 3]
+
+    # Ku shaped [NP, W, 8]; transpose to [W, NP, 8] for per-frame gather
+    hit = jax.vmap(gather_frame)(state.images, Ku.transpose(1, 0, 2), Kv.transpose(1, 0, 2))
+    hit = hit.transpose(1, 0, 2, 3)               # [NP, W, 8, 3]
+    hit_i, gx, gy = hit[..., 0], hit[..., 1], hit[..., 2]
+
+    # affine transfer host->target per (p, t)
+    a_h = aff[h_idx, 0][:, None]
+    b_h = aff[h_idx, 1][:, None]
+    a_t = aff[None, :, 0]
+    b_t = aff[None, :, 1]
+    exp_h = state.exposure[h_idx][:, None]
+    exp_t = state.exposure[None, :]
+    a_th = jnp.exp(a_t - a_h) * (exp_t / exp_h)   # [NP, W]
+    b_th = b_t - a_th * b_h
+
+    residual = hit_i - (a_th[..., None] * state.p_color[:, None, :] + b_th[..., None])
+
+    # per-pixel robust weights
+    wp = state.p_weight[:, None, :]               # pattern gradient weight
+    abs_r = jnp.abs(residual)
+    hw = jnp.where(abs_r < huber, 1.0, huber / jnp.maximum(abs_r, 1e-12))
+
+    # validity masks ------------------------------------------------------
+    t_idx = jnp.arange(W)[None, :]
+    pair_mask = (
+        state.p_valid[:, None]
+        & state.frame_valid[None, :]
+        & (t_idx != h_idx[:, None])
+        & state.p_res_good
+    )
+    pix_ok = in_bounds & jnp.isfinite(hit_i) & pair_mask[..., None]
+
+    # per-residual (pair) energy & outlier decision (DSO linearize)
+    pix_energy = hw * residual * residual * (2.0 - hw) * wp * wp
+    pair_energy = jnp.sum(jnp.where(pix_ok, pix_energy, 0.0), axis=-1)
+    all_pix_in = jnp.all(in_bounds | ~pair_mask[..., None], axis=-1)
+    th = jnp.maximum(state.energy_th[h_idx][:, None], state.energy_th[None, :])
+    is_good = pair_mask & all_pix_in & (pair_energy < th)
+
+    # ---- Jacobians (geometry at FEJ) -----------------------------------
+    z0 = jnp.maximum(pt_zero[..., 2], 1e-6)
+    un0 = pt_zero[..., 0] / z0
+    vn0 = pt_zero[..., 1] / z0
+    iz0 = 1.0 / z0
+    gxf = gx * fx0                                # use zero-calib focal (FEJ)
+    gyf = gy * fy0
+
+    # d r / d pixel-normalized-coords chain: J_uv = [gx*fx, gy*fy]
+    # target pose (left-increment on worldToCam), exactly the tracker J:
+    Jt = jnp.stack(
+        [
+            iz0 * gxf,
+            iz0 * gyf,
+            -iz0 * (un0 * gxf + vn0 * gyf),
+            -(un0 * vn0 * gxf + (1.0 + vn0 * vn0) * gyf),
+            un0 * vn0 * gyf + (1.0 + un0 * un0) * gxf,
+            un0 * gyf - vn0 * gxf,
+        ],
+        axis=-1,
+    )                                              # [NP, W, 8, 6]
+
+    # host pose: dp_t/ddelta_h = -R_th [I | -hat(X_h)];
+    # J_h = (dr/dp_t) @ dp_t/ddelta_h. Build dr/dp_t [NP, W, 8, 3] first:
+    dr_dpt = jnp.stack(
+        [
+            iz0 * gxf,
+            iz0 * gyf,
+            -iz0 * (un0 * gxf + vn0 * gyf),
+        ],
+        axis=-1,
+    )                                              # [NP, W, 8, 3]
+    # [I | -hat(Xh)] : [NP, 8, 3, 6]
+    Xh = Xh_zero
+    zero = jnp.zeros_like(Xh[..., 0])
+    one = jnp.ones_like(Xh[..., 0])
+    hatX = jnp.stack(
+        [
+            jnp.stack([zero, Xh[..., 2], -Xh[..., 1]], -1),
+            jnp.stack([-Xh[..., 2], zero, Xh[..., 0]], -1),
+            jnp.stack([Xh[..., 1], -Xh[..., 0], zero], -1),
+        ],
+        axis=-2,
+    )                                              # [NP, 8, 3, 3] = -hat(X)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), hatX.shape)
+    G = jnp.concatenate([I3, hatX], axis=-1)       # [NP, 8, 3, 6]
+    RG = jnp.einsum("ptij,pkjl->ptkil", Rth_zero, G, precision=_HI)  # [NP,W,8,3,6]
+    Jh = -jnp.einsum("ptki,ptkil->ptkl", dr_dpt, RG, precision=_HI)  # [NP,W,8,6]
+
+    # idepth: dp_t/d id = -(R_th X_h)/id = -(pt_zero - t_th)/id
+    dpt_did = -(pt_zero - tth_zero[:, :, None, :]) / id_zero[:, None, None, None]
+    Jd = jnp.einsum("ptki,ptki->ptk", dr_dpt, dpt_did, precision=_HI)  # [NP, W, 8]
+
+    # calib (fx fy cx cy): through projection and back-projection
+    # projection part: dKu/dfx = un, dKu/dcx = 1; dKv/dfy = vn, dKv/dcy = 1
+    # backprojection part: dXh/dfx = (-(u-cx)/fx^2, 0, 0)/id etc -> chain
+    xh_x = (pu8 - cx0) / fx0                       # [NP, 8] normalized host x
+    xh_y = (pv8 - cy0) / fy0
+    # dXh/dfx = (-xh_x / fx0, 0, 0)/id ; dp_t/dfx = R_th @ dXh/dfx
+    Rcol0 = Rth_zero[..., :, 0]                    # [NP, W, 3]
+    Rcol1 = Rth_zero[..., :, 1]
+    dpt_dfx = -(Rcol0[:, :, None, :] * (xh_x / fx0 / id_zero[:, None])[:, None, :, None])
+    dpt_dfy = -(Rcol1[:, :, None, :] * (xh_y / fy0 / id_zero[:, None])[:, None, :, None])
+    dpt_dcx = -(Rcol0[:, :, None, :] * (1.0 / fx0 / id_zero[:, None])[:, None, :, None])
+    dpt_dcy = -(Rcol1[:, :, None, :] * (1.0 / fy0 / id_zero[:, None])[:, None, :, None])
+    Jfx = gx * un0 + jnp.einsum("ptki,ptki->ptk", dr_dpt, dpt_dfx, precision=_HI)
+    Jfy = gy * vn0 + jnp.einsum("ptki,ptki->ptk", dr_dpt, dpt_dfy, precision=_HI)
+    Jcx = gx + jnp.einsum("ptki,ptki->ptk", dr_dpt, dpt_dcx, precision=_HI)
+    Jcy = gy + jnp.einsum("ptki,ptki->ptk", dr_dpt, dpt_dcy, precision=_HI)
+    Jcalib = jnp.stack([Jfx, Jfy, Jcx, Jcy], axis=-1)  # [NP, W, 8, 4]
+
+    # affine: dr/da_t = -a_th (c - b_h); dr/da_h = +a_th (c - b_h);
+    #         dr/db_t = -1;              dr/db_h = +a_th
+    c_minus_bh = state.p_color[:, None, :] - b_h[..., None]
+    Ja_t = -a_th[..., None] * c_minus_bh
+    Ja_h = a_th[..., None] * c_minus_bh
+    Jb_t = -jnp.ones_like(Ja_t)
+    Jb_h = a_th[..., None] * jnp.ones_like(Ja_t)
+
+    # ---- assemble dense rows [R, D] ------------------------------------
+    w_pix = jnp.where(is_good[..., None] & pix_ok, hw * wp * wp, 0.0)  # [NP,W,8]
+
+    host_onehot = jax.nn.one_hot(h_idx, W, dtype=jnp.float32)          # [NP, W]
+    targ_onehot = jnp.eye(W, dtype=jnp.float32)                        # [W, W]
+
+    # frame-block rows: per (p,t,k): host block Jh + target block Jt + aff
+    Jh_full = jnp.concatenate([Jh, Ja_h[..., None], Jb_h[..., None]], axis=-1)  # [NP,W,8,8]
+    Jt_full = jnp.concatenate([Jt, Ja_t[..., None], Jb_t[..., None]], axis=-1)  # [NP,W,8,8]
+
+    # expand to [NP, W, 8, W, 8par] then flatten to [NP, W, 8, 8W]
+    rows_frames = (
+        Jh_full[:, :, :, None, :] * host_onehot[:, None, None, :, None]
+        + Jt_full[:, :, :, None, :] * targ_onehot[None, :, None, :, None]
+    ).reshape(NP, W, 8, 8 * W)
+    rows = jnp.concatenate([Jcalib, rows_frames], axis=-1)             # [NP, W, 8, D]
+
+    Rrows = rows.reshape(NP * W * 8, D)
+    wvec = w_pix.reshape(NP * W * 8)
+    rvec = residual.reshape(NP * W * 8)
+
+    Hff = jnp.matmul(Rrows.T * wvec[None, :], Rrows, precision=_HI)    # [D, D]
+    bf = jnp.matmul(Rrows.T, (wvec * rvec)[:, None], precision=_HI)[:, 0]
+
+    # Schur blocks grouped by point
+    Hfd = jnp.einsum("ptkd,ptk,ptk->pd", rows, w_pix, Jd, precision=_HI)  # [NP, D]
+    Hdd = jnp.einsum("ptk,ptk,ptk->p", w_pix, Jd, Jd, precision=_HI)
+    bd = jnp.einsum("ptk,ptk,ptk->p", w_pix, Jd, residual, precision=_HI)
+
+    # idepth prior (initializer points): quadratic around idepth_zero
+    Hdd = Hdd + state.p_prior
+    bd = bd + state.p_prior * (state.p_idepth - state.p_idepth_zero)
+
+    # energy bookkeeping: saturated residuals contribute the threshold
+    e_contrib = jnp.where(is_good, pair_energy, jnp.where(pair_mask, th, 0.0))
+    energy = jnp.sum(e_contrib)
+    num_terms = jnp.sum(is_good.astype(jnp.float32)) * 8.0
+
+    return Linearization(
+        Hff=Hff, bf=bf, Hfd=Hfd, Hdd=Hdd, bd=bd,
+        energy=energy, pair_energy=pair_energy, pair_good=is_good,
+        num_terms=num_terms,
+    )
+
+
+# ---------------------------------------------------------------------------
+# priors & solving
+# ---------------------------------------------------------------------------
+
+
+def _prior_diag(state: BAState, cfg: SLAMConfig) -> jnp.ndarray:
+    """Diagonal prior over [D]: calib prior + first-KF pose anchor + affine
+    mode priors (DSO FrameHessian::getPrior / CalibHessian prior)."""
+    W = state.num_slots
+    ba = cfg.ba
+    mode_a, mode_b = cfg.tracker.affine_mode_a, cfg.tracker.affine_mode_b
+    a_prior = 1e14 if mode_a < 0 else float(mode_a)
+    b_prior = 1e14 if mode_b < 0 else float(mode_b)
+
+    calib = jnp.full((4,), ba.initial_calib_hessian, jnp.float32)
+    per_frame = jnp.concatenate(
+        [
+            jnp.zeros(6, jnp.float32),
+            jnp.asarray([a_prior, b_prior], jnp.float32),
+        ]
+    )
+    frames = jnp.tile(per_frame, W).reshape(W, 8)
+    # invalid slots: freeze hard so the solve stays well-posed. The gauge
+    # anchor (oldest KF) is handled by exact variable elimination in
+    # solve_step, NOT by a huge prior — a hard prior fights the nullspace
+    # projection and lets force-accept steps silently violate it.
+    frames = jnp.where(state.frame_valid[:, None], frames, 1e12)
+    return jnp.concatenate([calib, frames.reshape(-1)])
+
+
+def anchor_slot(state: BAState) -> jnp.ndarray:
+    """The gauge-anchor frame: the oldest valid KF in the window. Its pose
+    and affine parameters are eliminated from every solve (held constant);
+    absolute anchoring transfers into HM when it is marginalized."""
+    fid = jnp.where(state.frame_valid, state.frame_id, jnp.int32(2**30))
+    return jnp.argmin(fid)
+
+
+def _free_mask(state: BAState) -> jnp.ndarray:
+    """[D] bool: False for the anchor frame's 8 parameters."""
+    W = state.num_slots
+    D = 4 + 8 * W
+    a = anchor_slot(state)
+    idx = jnp.arange(D)
+    in_anchor = (idx >= 4 + 8 * a) & (idx < 4 + 8 * a + 8)
+    return ~in_anchor
+
+
+def _state_vector(state: BAState) -> jnp.ndarray:
+    """Current delta vector x = [calib_delta | frame deltas] (length D)."""
+    return jnp.concatenate([state.calib_delta, state.delta.reshape(-1)])
+
+
+def _nullspaces(state: BAState) -> jnp.ndarray:
+    """Remaining gauge direction of the monocular photometric energy with
+    the anchor frame eliminated: global scale (free frames translate along
+    t_cw while all idepths rescale; cf. DSO's nullspaces_scale,
+    FrontEndOptimize.cpp:563-571). The six global-motion directions are
+    exactly fixed by the anchor-frame elimination. Returns N [D, 1]."""
+    W = state.num_slots
+    D = 4 + 8 * W
+    T_cur = state.T_current()
+    t_cw = T_cur[:, :3, 3]
+    a = anchor_slot(state)
+    N = jnp.zeros((D, 1), jnp.float32)
+    for i in range(W):
+        blk = jnp.where(state.frame_valid[i] & (i != a), 1.0, 0.0)
+        N = N.at[4 + 8 * i : 4 + 8 * i + 3, 0].set(t_cw[i] * blk)
+    return N
+
+
+def _project_out_nullspace(x: jnp.ndarray, N: jnp.ndarray) -> jnp.ndarray:
+    """x <- x - N (N^T N)^+ N^T x (DSO SOLVER_ORTHOGONALIZE_X_LATER)."""
+    k = N.shape[1]
+    NtN = jnp.matmul(N.T, N, precision=_HI) + 1e-6 * jnp.eye(k, dtype=jnp.float32)
+    coef = jnp.linalg.solve(NtN, jnp.matmul(N.T, x[:, None], precision=_HI))
+    return x - jnp.matmul(N, coef, precision=_HI)[:, 0]
+
+
+def solve_step(state: BAState, lin: Linearization, lam: jnp.ndarray, cfg: SLAMConfig):
+    """One GN/LM step: Schur over idepths, solve frame system, project the
+    gauge nullspace out of the step, back-substitute idepths.
+    Returns (x_frames [D], x_idepth [NP])."""
+    W = state.num_slots
+    D = 4 + 8 * W
+    x0 = _state_vector(state)
+    prior = _prior_diag(state, cfg)
+
+    Hdd_mult = lin.Hdd * (1.0 + lam) + 1e-10
+    inv_Hdd = jnp.where(lin.Hdd > 1e-10, 1.0 / Hdd_mult, 0.0)
+
+    H_sc = jnp.matmul(lin.Hfd.T * inv_Hdd[None, :], lin.Hfd, precision=_HI)
+    b_sc = jnp.matmul(lin.Hfd.T, (inv_Hdd * lin.bd)[:, None], precision=_HI)[:, 0]
+
+    H = lin.Hff - H_sc + state.HM + jnp.diag(prior)
+    b = lin.bf - b_sc + state.bM + jnp.matmul(state.HM, x0, precision=_HI) + prior * x0
+
+    # eliminate the gauge-anchor frame's variables exactly: zero its
+    # rows/cols and gradient; unit diagonal keeps the system non-singular.
+    free = _free_mask(state)
+    H = jnp.where(free[:, None] & free[None, :], H, 0.0)
+    H = H + jnp.diag(jnp.where(free, 0.0, 1.0))
+    b = jnp.where(free, b, 0.0)
+
+    # precondition, damp, solve
+    P = _precond(W)
+    Hp = H * P[:, None] * P[None, :]
+    bp = b * P
+    Hp = Hp + lam * jnp.diag(jnp.diag(Hp)) + 1e-8 * jnp.eye(D, dtype=jnp.float32)
+    xp = jnp.linalg.solve(Hp, -bp)
+    x = xp * P
+
+    # project the gauge directions (global SE(3) + scale) out of the step —
+    # they are (near-)null for the photometric energy and otherwise absorb
+    # arbitrarily large components that wreck FEJ consistency.
+    x = _project_out_nullspace(x, _nullspaces(state))
+
+    # back-substitute idepth steps
+    x_d = inv_Hdd * (-lin.bd - jnp.matmul(lin.Hfd, x[:, None], precision=_HI)[:, 0])
+    return x, x_d
+
+
+def apply_step(state: BAState, x: jnp.ndarray, x_d: jnp.ndarray) -> BAState:
+    W = state.num_slots
+    calib_delta = state.calib_delta + x[:4]
+    delta = state.delta + x[4:].reshape(W, 8)
+    idepth = jnp.where(state.p_valid, state.p_idepth + x_d, state.p_idepth)
+    return state._replace(calib_delta=calib_delta, delta=delta, p_idepth=idepth)
+
+
+def _step_converged(x: jnp.ndarray, x_d: jnp.ndarray, state: BAState, cfg: SLAMConfig):
+    """DSO doStepFromBackup convergence test (FrontEndOptimize.cpp:238-258)."""
+    W = state.num_slots
+    nf = jnp.maximum(jnp.sum(state.frame_valid.astype(jnp.float32)), 1.0)
+    xf = x[4:].reshape(W, 8)
+    msk = state.frame_valid[:, None].astype(jnp.float32)
+    sumT = jnp.sum(msk * xf[:, 0:3] ** 2) / nf
+    sumR = jnp.sum(msk * xf[:, 3:6] ** 2) / nf
+    sumA = jnp.sum(msk[:, 0] * xf[:, 6] ** 2) / nf
+    sumB = jnp.sum(msk[:, 0] * xf[:, 7] ** 2) / nf
+    nid = jnp.maximum(jnp.sum(state.p_valid.astype(jnp.float32)), 1.0)
+    sumNID = jnp.sum(jnp.where(state.p_valid, jnp.abs(state.p_idepth), 0.0)) / nid
+    th = cfg.ba.th_opt_iterations
+    return (
+        (jnp.sqrt(sumA) < 0.0005 * th)
+        & (jnp.sqrt(sumB) < 0.00005 * th)
+        & (jnp.sqrt(sumR) < 0.00005 * th)
+        & (jnp.sqrt(sumT) * sumNID < 0.00005 * th)
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def optimize(state: BAState, cfg: SLAMConfig, iterations: int):
+    """The windowed BA loop (FrontEndOptimize.cpp:332-486). LM with an
+    energy-based accept/reject (the reference's non-force-accept branch,
+    FrontEndOptimize.cpp:427-449): a rejected step restores the backup and
+    raises lambda x100. The energy compared includes the marginalization
+    prior and state priors, so steps along prior-constrained directions are
+    judged correctly.
+
+    Returns (state, rmse, energy_finite)."""
+
+    def total_energy(st, lin):
+        x = _state_vector(st)
+        prior = _prior_diag(st, cfg)
+        e_prior = jnp.dot(x, state_dot(st, x, prior))
+        return lin.energy + e_prior
+
+    def state_dot(st, x, prior):
+        return jnp.matmul(st.HM, x, precision=_HI) + 2.0 * st.bM + prior * x
+
+    force_accept = cfg.ba.solver_force_accept_step
+
+    def body(carry, it):
+        st, lam, e_old = carry
+        lin = linearize(st, cfg)
+        x, x_d = solve_step(st, lin, lam, cfg)
+        converged = _step_converged(x, x_d, st, cfg)
+        st_new = apply_step(st, x, x_d)
+        if force_accept:
+            # DSO default: always take the step (lambda still shrinks);
+            # skip the extra energy linearization entirely.
+            do_apply = (~converged) | (it < cfg.ba.min_opt_iterations)
+            st2 = jax.lax.cond(
+                do_apply, lambda s: s, lambda s: st, st_new
+            )
+            return (st2, lam * 0.25, e_old), None
+        lin_new = linearize(st_new, cfg)
+        e_new = total_energy(st_new, lin_new)
+        accept = e_new < e_old
+        st2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(accept, (1,) * a.ndim) if a.ndim else accept, a, b
+            ),
+            st_new, st,
+        )
+        lam2 = jnp.where(accept, lam * 0.25, jnp.minimum(lam * 100.0, 1e4))
+        e2 = jnp.where(accept, e_new, e_old)
+        return (st2, lam2, e2), None
+
+    lin0 = linearize(state, cfg)
+    e0 = total_energy(state, lin0)
+    (state, _, _), _ = jax.lax.scan(
+        body, (state, jnp.float32(1e-1), e0), jnp.arange(iterations)
+    )
+
+    # final linearization: energy / rmse / residual states
+    lin = linearize(state, cfg)
+    state = state._replace(p_res_good=lin.pair_good)
+    rmse = jnp.sqrt(lin.energy / jnp.maximum(lin.num_terms, 1.0))
+    return state, rmse, jnp.isfinite(lin.energy)
+
+
+# ---------------------------------------------------------------------------
+# energy threshold + FEJ reset (post-optimize bookkeeping)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2,))
+def set_new_frame_energy_th(state: BAState, newest_slot: jnp.ndarray, cfg: SLAMConfig):
+    """Percentile-based frame energy threshold for the newest frame
+    (FrontEndOptimize.cpp:79-120)."""
+    lin = linearize(state, cfg)
+    is_target = jnp.arange(state.num_slots)[None, :] == newest_slot
+    sel = lin.pair_good & is_target
+    e = jnp.where(sel, lin.pair_energy, jnp.nan)
+    nth = jnp.nanquantile(e, cfg.ba.frame_energy_th_n)
+    nth = jnp.where(jnp.isfinite(nth), jnp.sqrt(nth), 12.0 * jnp.sqrt(8.0))
+    th = nth * cfg.ba.frame_energy_th_fac_median
+    th = 26.0 * cfg.ba.frame_energy_th_const_weight + th * (
+        1.0 - cfg.ba.frame_energy_th_const_weight
+    )
+    th = th * th * cfg.ba.overall_energy_th_weight**2
+    return state._replace(energy_th=state.energy_th.at[newest_slot].set(th))
+
+
+def reset_fej_newest(state: BAState, newest_slot) -> BAState:
+    """After optimization, move the newest frame's FEJ point to its current
+    pose, keeping the affine delta (FrontEndOptimize.cpp:455-460)."""
+    T_cur = state.T_current()
+    slot_mask = jnp.arange(state.num_slots) == newest_slot
+    T_zero = jnp.where(slot_mask[:, None, None], T_cur, state.T_zero)
+    new_delta = state.delta.at[:, 0:6].set(
+        jnp.where(slot_mask[:, None], 0.0, state.delta[:, 0:6])
+    )
+    return state._replace(T_zero=T_zero, delta=new_delta)
+
+
+# ---------------------------------------------------------------------------
+# marginalization
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2,))
+def marginalize_points(state: BAState, marg_mask: jnp.ndarray, cfg: SLAMConfig):
+    """Fold flagged points into the marginalization prior (HM, bM) via the
+    Schur complement over their idepths (EnergyFunctional::marginalizePointsF),
+    weighted by setting_margWeightFac, then invalidate them."""
+    lin = linearize(state, cfg)
+    m = (marg_mask & state.p_valid).astype(jnp.float32)
+    inv_Hdd = jnp.where(lin.Hdd > 1e-10, 1.0 / lin.Hdd, 0.0) * m
+
+    # rebuild the flagged points' own Hff/bf contribution: recompute from
+    # per-point grouped blocks is cheaper than re-deriving rows; use the
+    # identity Hff_p = sum over its rows — we re-linearize with only the
+    # flagged points valid.
+    st_only = state._replace(p_valid=state.p_valid & marg_mask)
+    lin_p = linearize(st_only, cfg)
+
+    H_sc = jnp.matmul(lin_p.Hfd.T * inv_Hdd[None, :], lin_p.Hfd, precision=_HI)
+    b_sc = jnp.matmul(lin_p.Hfd.T, (inv_Hdd * lin_p.bd)[:, None], precision=_HI)[:, 0]
+
+    w = cfg.ba.marg_weight_fac
+    # the prior is quadratic around the CURRENT delta: shift bM accordingly
+    x0 = _state_vector(state)
+    dH = w * (lin_p.Hff - H_sc)
+    db = w * (lin_p.bf - b_sc)
+    HM = state.HM + dH
+    bM = state.bM + db - jnp.matmul(dH, x0[:, None], precision=_HI)[:, 0]
+
+    return state._replace(
+        HM=HM, bM=bM, p_valid=state.p_valid & ~marg_mask
+    )
+
+
+def drop_points(state: BAState, drop_mask: jnp.ndarray) -> BAState:
+    """Drop points without folding them into the prior (outliers)."""
+    return state._replace(p_valid=state.p_valid & ~drop_mask)
+
+
+@jax.jit
+def marginalize_frame(state: BAState, slot: jnp.ndarray):
+    """Schur-remove a frame's 8 parameters from (HM, bM) and free its slot
+    (EnergyFunctional::marginalizeFrame). The caller must have already
+    dropped/marginalized all points hosted in the slot and all residuals
+    targeting it (mirrors FrontEndMarginalize.cpp:148-215)."""
+    W = state.num_slots
+    D = 4 + 8 * W
+    idx0 = 4 + 8 * slot
+    onblock = (jnp.arange(D) >= idx0) & (jnp.arange(D) < idx0 + 8)
+
+    HM, bM = state.HM, state.bM
+    # transfer gauge anchoring: if the marginalized frame is the anchor,
+    # add a strong pose prior to its block first, so the Schur complement
+    # anchors the remaining frames absolutely (DSO folds the frame prior
+    # into HM at marginalization, EnergyFunctional::marginalizeFrame).
+    is_anchor = anchor_slot(state) == slot
+    anchor_prior = jnp.where(is_anchor, 1e8, 0.0)
+    diag_add = jnp.where(onblock, anchor_prior, 0.0)
+    HM = HM + jnp.diag(diag_add)
+    # gather the 8 rows/cols
+    sel = jnp.nonzero(onblock, size=8, fill_value=0)[0]
+    keep = ~onblock
+
+    Hbb = HM[sel][:, sel]
+    Hbb = Hbb + 1e-8 * jnp.eye(8, dtype=jnp.float32)
+    Hab = HM[:, sel] * keep[:, None]              # [D, 8] rows outside block
+    bb = bM[sel]
+
+    Hbb_inv = jnp.linalg.inv(Hbb)
+    HM_new = HM - jnp.matmul(jnp.matmul(Hab, Hbb_inv, precision=_HI), Hab.T, precision=_HI)
+    bM_new = bM - jnp.matmul(Hab, jnp.matmul(Hbb_inv, bb[:, None], precision=_HI), precision=_HI)[:, 0]
+
+    # zero the block rows/cols entirely
+    mask2d = keep[:, None] & keep[None, :]
+    HM_new = jnp.where(mask2d, HM_new, 0.0)
+    bM_new = jnp.where(keep, bM_new, 0.0)
+
+    frame_valid = state.frame_valid.at[slot].set(False)
+    frame_id = state.frame_id.at[slot].set(-1)
+    # invalidate any residuals targeting the slot & any points hosted there
+    p_res_good = state.p_res_good.at[:, slot].set(False)
+    p_valid = state.p_valid & (state.p_host != slot)
+    # reset the slot's delta so _state_vector stays consistent with bM=0
+    delta = state.delta.at[slot].set(0.0)
+
+    return state._replace(
+        HM=HM_new, bM=bM_new, frame_valid=frame_valid, frame_id=frame_id,
+        p_res_good=p_res_good, p_valid=p_valid, delta=delta,
+    )
+
+
+# ---------------------------------------------------------------------------
+# window management (host-side helpers; pure functions of the pytree)
+# ---------------------------------------------------------------------------
+
+
+def add_frame(
+    state: BAState,
+    slot: int,
+    frame_id: int,
+    T_cw: np.ndarray,
+    aff: np.ndarray,
+    exposure: float,
+    image_planes: jnp.ndarray,
+) -> BAState:
+    """Insert a keyframe into a free slot (EnergyFunctional::insertFrame).
+    New residuals toward the new frame activate automatically through the
+    dense [NP, W] residual grid."""
+    return state._replace(
+        frame_valid=state.frame_valid.at[slot].set(True),
+        frame_id=state.frame_id.at[slot].set(frame_id),
+        T_zero=state.T_zero.at[slot].set(jnp.asarray(T_cw, jnp.float32)),
+        delta=state.delta.at[slot].set(0.0),
+        aff_zero=state.aff_zero.at[slot].set(jnp.asarray(aff, jnp.float32)),
+        exposure=state.exposure.at[slot].set(exposure),
+        images=state.images.at[slot].set(image_planes),
+        energy_th=state.energy_th.at[slot].set(12.0 * 12.0 * 8.0),
+        p_res_good=state.p_res_good.at[:, slot].set(True),
+    )
+
+
+def add_points(
+    state: BAState,
+    free_idx: jnp.ndarray,     # [K] point-pool indices to fill
+    host_slot: int,
+    u: jnp.ndarray, v: jnp.ndarray, idepth: jnp.ndarray,
+    color: jnp.ndarray, weight: jnp.ndarray,
+    valid: jnp.ndarray,
+    prior: jnp.ndarray = None,
+) -> BAState:
+    if prior is None:
+        prior = jnp.zeros_like(u)
+    return state._replace(
+        p_valid=state.p_valid.at[free_idx].set(valid),
+        p_host=state.p_host.at[free_idx].set(host_slot),
+        p_u=state.p_u.at[free_idx].set(u),
+        p_v=state.p_v.at[free_idx].set(v),
+        p_idepth=state.p_idepth.at[free_idx].set(idepth),
+        p_idepth_zero=state.p_idepth_zero.at[free_idx].set(idepth),
+        p_color=state.p_color.at[free_idx].set(color),
+        p_weight=state.p_weight.at[free_idx].set(weight),
+        p_prior=state.p_prior.at[free_idx].set(prior),
+        p_res_good=state.p_res_good.at[free_idx, :].set(
+            valid[:, None] & jnp.ones((1, state.num_slots), bool)
+        ),
+    )
