@@ -1,0 +1,775 @@
+"""Visual-odometry front end: the host orchestrator.
+
+TPU-native equivalent of the reference's ``FrontEnd`` class
+(FrontEnd.{h,cpp}) — per-frame coarse tracking with the motion-model
+try-list, keyframe decision, the keyframe pipeline (trace -> flag
+marginalization -> insert -> activate -> windowed BA -> scale opt -> point
+removal -> new traces -> frame marginalization), and failure detection.
+All numeric work runs in jitted device programs; this module owns the
+control flow and the fixed-slot bookkeeping that replaces DSO's pointer
+graph.
+
+Threading note: the reference runs tracking and mapping in one thread with
+a double-buffered tracker-reference swap (FrontEnd.cpp:627-632) and defers
+loop closure to a background thread. Here the tracker template is rebuilt
+synchronously per keyframe (pure-functional state, no locks), and
+marginalized keyframes are appended to ``marginalized_queue`` for the loop
+handler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SLAMConfig
+from ..geometry import lie
+from ..geometry.camera import PyramidIntrinsics
+from ..ops.distance_map import build_distance_map
+from ..ops.pyramid import Pyramid, build_pyramid
+from ..ops.select import adapt_potential, make_selection_map
+from ..utils.timing import StageTimers
+from . import ba, immature, initializer
+from .depth_template import TrackerTemplate, build_template, default_budgets, scale_template_idepth
+from .scale_opt import ScaleState, run_scale_optimization
+from .tracker import (
+    AffLight,
+    aff_from_to,
+    make_motion_tries,
+    select_winner,
+    track_candidates_batch,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclass
+class FrameShell:
+    """Host record per processed frame (DSO FrameShell)."""
+
+    incoming_id: int
+    timestamp: float
+    T_wc: np.ndarray                  # camToWorld
+    aff: np.ndarray                   # (a, b)
+    tracking_ref_kf: int = -1         # frame_id of the reference KF
+    is_kf: bool = False
+
+
+@dataclass
+class MarginalizedKF:
+    """Record handed to the loop handler when a KF leaves the window
+    (reference FrontEndMarginalize.cpp:204 -> LoopHandler::publishKeyframes)."""
+
+    kf_id: int
+    incoming_id: int
+    timestamp: float
+    T_wc: np.ndarray
+    dso_error: float
+    scale_error: float
+    # marginalized points, camera frame: [K, 3]; per-level colors [K, L]
+    pts_cam: np.ndarray
+    pts_colors: np.ndarray
+    # level-0 pyramid planes of the KF (for direct loop alignment when this
+    # frame is the CURRENT frame); dropped by the loop handler when done.
+    pyr: Optional[tuple] = None
+    exposure: float = 1.0
+
+
+class FrontEnd:
+    def __init__(
+        self,
+        cfg: SLAMConfig,
+        intr0: PyramidIntrinsics,
+        intr1: PyramidIntrinsics,
+        t_cam1_cam0: np.ndarray,
+        prev_kf_count: int = 0,
+        timers: Optional[StageTimers] = None,
+    ):
+        self.cfg = cfg
+        self.intr0 = intr0
+        self.intr1 = intr1
+        self.t_cam1_cam0 = np.asarray(t_cam1_cam0, np.float32)
+        self.levels = cfg.tracker.pyr_levels
+
+        self.n_slots = cfg.ba.max_frames + 1
+        self.pool = self.n_slots * cfg.ba.max_points_per_frame
+        H, W = intr0.h[0], intr0.w[0]
+        calib = np.array([intr0.fx[0], intr0.fy[0], intr0.cx[0], intr0.cy[0]], np.float32)
+        self.ba_state = ba.empty_state(self.n_slots, self.pool, H, W, calib)
+        self.budgets = default_budgets(W, H, self.levels)
+
+        self.immatures: Dict[int, immature.ImmaturePoints] = {}
+        self.slot_stats: Dict[int, Dict[str, int]] = {}
+        self.template: Optional[TrackerTemplate] = None
+        self.template_kf_slot = -1
+        self.template_ref_aff = AffLight(jnp.float32(0.0), jnp.float32(0.0))
+        self.template_ref_exposure = jnp.float32(1.0)
+        self.first_coarse_rmse = -1.0
+        self.last_coarse_rmse = 1e9
+
+        self.all_frames: List[FrameShell] = []
+        self.kf_shells: List[FrameShell] = []
+        self.prev_kf_count = prev_kf_count
+        self.num_kfs = 0
+
+        self.initialized = False
+        self.is_lost = False
+        self.init_failed = False
+        self.cur_pose = np.eye(4, dtype=np.float32)   # camToWorld
+
+        self.scale_state = ScaleState()
+        self.scale_errors: Dict[int, float] = {}      # per-slot
+        self.last_dso_error = 10e5
+        self.current_min_act_dist = 2.0
+        self.pot = 5
+
+        self.marginalized_queue: List[MarginalizedKF] = []
+        self.timers = timers if timers is not None else StageTimers()
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _free_slot(self) -> int:
+        valid = np.asarray(self.ba_state.frame_valid)
+        for i in range(self.n_slots):
+            if not valid[i]:
+                return i
+        raise RuntimeError("no free keyframe slot")
+
+    def _newest_slot(self) -> int:
+        fid = np.asarray(self.ba_state.frame_id)
+        valid = np.asarray(self.ba_state.frame_valid)
+        fid = np.where(valid, fid, -1)
+        return int(np.argmax(fid))
+
+    def _active_slots(self) -> List[int]:
+        valid = np.asarray(self.ba_state.frame_valid)
+        fid = np.asarray(self.ba_state.frame_id)
+        slots = [i for i in range(self.n_slots) if valid[i]]
+        return sorted(slots, key=lambda s: fid[s])
+
+    def _kf_pose(self, slot: int) -> np.ndarray:
+        """camToWorld of a window KF (current estimate)."""
+        T_cw = np.asarray(self.ba_state.T_current())[slot]
+        return np.linalg.inv(T_cw)
+
+    def _point_count(self) -> int:
+        return int(np.asarray(jnp.sum(self.ba_state.p_valid)))
+
+    # ------------------------------------------------------------------
+    # main entry (reference addActiveStereoFrame, FrontEnd.cpp:585-686)
+    # ------------------------------------------------------------------
+
+    def add_stereo_frame(self, img0: jnp.ndarray, img1: jnp.ndarray,
+                         incoming_id: int, timestamp: float) -> FrameShell:
+        pyr0 = build_pyramid(img0, self.levels)
+
+        if not self.initialized:
+            shell = self._initialize(pyr0, img1, incoming_id, timestamp)
+            return shell
+
+        shell = self._track_frame(pyr0, incoming_id, timestamp)
+        if self.is_lost:
+            return shell
+
+        need_kf = self._keyframe_decision(shell)
+        if need_kf:
+            self._make_keyframe(shell, pyr0, img1)
+        else:
+            self._make_non_keyframe(shell, pyr0)
+        return shell
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def _initialize(self, pyr0: Pyramid, img1, incoming_id, timestamp) -> FrameShell:
+        pyr1 = build_pyramid(img1, self.levels)
+        res = initializer.initialize_from_stereo(
+            pyr0, pyr1, self.intr0, self.t_cam1_cam0, self.cfg,
+            budget=self.cfg.ba.max_immature_per_frame, pot=self.pot,
+        )
+        shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
+                           np.zeros(2, np.float32))
+        self.all_frames.append(shell)
+        if not res.ok:
+            return shell
+
+        # subsample to the desired density (FrontEnd.cpp:870-881)
+        valid = np.asarray(res.valid)
+        n_have = valid.sum()
+        keep_frac = min(1.0, self.cfg.ba.desired_point_density / max(n_have, 1))
+        rng = np.random.RandomState(0)
+        keep = valid & (rng.rand(len(valid)) < keep_frac)
+
+        slot = 0
+        T_cw = np.linalg.inv(self.cur_pose).astype(np.float32)
+        self.ba_state = ba.add_frame(
+            self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2), 1.0,
+            pyr0.data[0],
+        )
+        cap = min(self.cfg.ba.max_points_per_frame, len(valid))
+        sel_idx = np.nonzero(keep)[0][:cap]
+        k = len(sel_idx)
+        free = jnp.arange(k)
+        self.ba_state = ba.add_points(
+            self.ba_state, free, slot,
+            res.u[jnp.asarray(sel_idx)], res.v[jnp.asarray(sel_idx)],
+            res.idepth[jnp.asarray(sel_idx)],
+            res.color[jnp.asarray(sel_idx)], res.weight[jnp.asarray(sel_idx)],
+            jnp.ones(k, bool),
+            prior=jnp.full((k,), self.cfg.ba.idepth_fix_prior, jnp.float32),
+        )
+        self.slot_stats[slot] = {"out": 0, "marg": 0}
+        shell.is_kf = True
+        shell.tracking_ref_kf = self.num_kfs
+        self.kf_shells.append(shell)
+        self.num_kfs += 1
+
+        self._make_new_traces(slot, pyr0)
+        self._build_template(slot, pyr0)
+        self.initialized = True
+        return shell
+
+    # ------------------------------------------------------------------
+    # tracking (reference trackNewCoarse, FrontEnd.cpp:120-274)
+    # ------------------------------------------------------------------
+
+    def _track_frame(self, pyr0: Pyramid, incoming_id, timestamp) -> FrameShell:
+        ref_slot = self.template_kf_slot
+        T_w_ref = self._kf_pose(ref_slot)
+
+        # motion model from the last two frames
+        if len(self.all_frames) >= 2 and self.all_frames[-1].tracking_ref_kf >= 0:
+            slast = self.all_frames[-1]
+            sprelast = self.all_frames[-2] if len(self.all_frames) >= 2 else slast
+            slast_2_sprelast = np.linalg.inv(sprelast.T_wc) @ slast.T_wc
+            lastF_2_slast = np.linalg.inv(slast.T_wc) @ T_w_ref
+            aff_init = AffLight(jnp.float32(slast.aff[0]), jnp.float32(slast.aff[1]))
+            stage1, stage2 = make_motion_tries(
+                np.eye(4), lastF_2_slast, slast_2_sprelast, self.cfg
+            )
+        else:
+            stage1 = np.stack([np.eye(4, dtype=np.float32)])
+            stage2 = stage1
+            aff_init = AffLight(jnp.float32(0.0), jnp.float32(0.0))
+
+        with self.timers.span("track"):
+            res = track_candidates_batch(
+                tuple(pyr0.data), self.template, self.intr0, self.cfg,
+                jnp.asarray(stage1), aff_init, self.template_ref_aff,
+                self.template_ref_exposure, jnp.float32(1.0),
+            )
+            idx, good = select_winner(res, self.last_coarse_rmse, self.cfg)
+            if not good or float(res.res_per_level[idx, 0]) > \
+                    self.cfg.tracker.re_track_threshold * self.last_coarse_rmse:
+                res2 = track_candidates_batch(
+                    tuple(pyr0.data), self.template, self.intr0, self.cfg,
+                    jnp.asarray(stage2), aff_init, self.template_ref_aff,
+                    self.template_ref_exposure, jnp.float32(1.0),
+                )
+                idx2, good2 = select_winner(res2, self.last_coarse_rmse, self.cfg)
+                if good2 and (not good or float(res2.res_per_level[idx2, 0])
+                              < float(res.res_per_level[idx, 0])):
+                    res, idx, good = res2, idx2, good2
+
+        shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
+                           np.zeros(2, np.float32))
+        self.all_frames.append(shell)
+
+        r0 = float(res.res_per_level[idx, 0])
+        flow = np.asarray(res.flow[idx])
+        if (not good) or (not math.isfinite(r0)) or not np.all(np.isfinite(flow)):
+            self.is_lost = True
+            return shell
+
+        T_ref_new = np.asarray(res.T[idx])            # warp ref->new
+        shell.T_wc = (T_w_ref @ np.linalg.inv(T_ref_new)).astype(np.float32)
+        shell.aff = np.asarray([float(res.aff.a[idx]), float(res.aff.b[idx])])
+        shell.tracking_ref_kf = int(np.asarray(self.ba_state.frame_id)[ref_slot])
+        shell._T_ref_new = T_ref_new
+        shell._flow = flow
+        shell._res0 = r0
+        self.cur_pose = shell.T_wc
+        if self.first_coarse_rmse < 0:
+            self.first_coarse_rmse = r0
+        self.last_coarse_rmse = r0
+        return shell
+
+    # ------------------------------------------------------------------
+    # keyframe decision (FrontEnd.cpp:644-667)
+    # ------------------------------------------------------------------
+
+    def _keyframe_decision(self, shell: FrameShell) -> bool:
+        kc = self.cfg.keyframe
+        if kc.keyframes_per_second > 0:
+            return (shell.timestamp - self.kf_shells[-1].timestamp) > \
+                0.95 / kc.keyframes_per_second
+
+        w, h = self.intr0.w[0], self.intr0.h[0]
+        ref_aff = np.array([
+            float(self.template_ref_aff.a), float(self.template_ref_aff.b)])
+        a_rel = math.exp(shell.aff[0] - ref_aff[0])
+        flow_t, _, flow_rt = shell._flow
+        score = (
+            kc.kf_global_weight * kc.max_shift_weight_t * math.sqrt(max(flow_t, 0.0)) / (w + h)
+            + kc.kf_global_weight * kc.max_shift_weight_r * 0.0
+            + kc.kf_global_weight * kc.max_shift_weight_rt * math.sqrt(max(flow_rt, 0.0)) / (w + h)
+            + kc.kf_global_weight * kc.max_affine_weight * abs(math.log(max(a_rel, 1e-9)))
+        )
+        return score > 1.0 or 2.0 * self.first_coarse_rmse < shell._res0
+
+    # ------------------------------------------------------------------
+    # non-keyframe: trace immatures (FrontEnd.cpp:708-719)
+    # ------------------------------------------------------------------
+
+    def _make_non_keyframe(self, shell: FrameShell, pyr0: Pyramid):
+        with self.timers.span("trace"):
+            self._trace_all(shell.T_wc, pyr0.data[0], shell.aff)
+
+    def _trace_all(self, T_wc_new: np.ndarray, target_planes, new_aff):
+        K = np.asarray(self.intr0.K(0), np.float32)
+        Ki = np.linalg.inv(K)
+        T_cw_new = np.linalg.inv(T_wc_new)
+        aff_all = np.asarray(self.ba_state.aff_current())
+        for slot in list(self.immatures.keys()):
+            T_w_host = self._kf_pose(slot)
+            T_nh = T_cw_new @ T_w_host
+            a_rel = float(np.exp(new_aff[0] - aff_all[slot, 0]))
+            b_rel = float(new_aff[1] - a_rel * aff_all[slot, 1])
+            self.immatures[slot] = immature.trace_points(
+                self.immatures[slot], target_planes,
+                jnp.asarray(K @ T_nh[:3, :3] @ Ki, jnp.float32),
+                jnp.asarray(K @ T_nh[:3, 3], jnp.float32),
+                jnp.float32(a_rel), jnp.float32(b_rel), self.cfg,
+            )
+
+    # ------------------------------------------------------------------
+    # keyframe pipeline (FrontEnd.cpp:721-840)
+    # ------------------------------------------------------------------
+
+    def _make_keyframe(self, shell: FrameShell, pyr0: Pyramid, img1):
+        cfg = self.cfg
+        shell.is_kf = True
+        self.kf_shells.append(shell)
+
+        with self.timers.span("trace"):
+            self._trace_all(shell.T_wc, pyr0.data[0], shell.aff)
+
+        # ---- flag frames for marginalization (FrontEndMarginalize.cpp:62) --
+        flagged = self._flag_frames_for_marginalization(shell)
+
+        # ---- insert the new KF into the window -----------------------------
+        slot = self._free_slot()
+        T_cw = np.linalg.inv(shell.T_wc).astype(np.float32)
+        prev_newest = self._newest_slot()
+        self.ba_state = ba.add_frame(
+            self.ba_state, slot, self.num_kfs, T_cw, shell.aff, 1.0, pyr0.data[0],
+        )
+        self.ba_state = self.ba_state._replace(
+            energy_th=self.ba_state.energy_th.at[slot].set(
+                self.ba_state.energy_th[prev_newest])
+        )
+        self.slot_stats[slot] = {"out": 0, "marg": 0}
+        self.scale_errors[slot] = -1.0
+        kf_id = self.num_kfs
+        self.num_kfs += 1
+
+        # ---- activate candidate points (FrontEnd.cpp:341-500) --------------
+        with self.timers.span("activate"):
+            self._activate_points(slot)
+
+        # ---- windowed BA (FrontEndOptimize.cpp:332) ------------------------
+        n_active_frames = len(self._active_slots())
+        iters = cfg.ba.max_opt_iterations
+        if n_active_frames < 3:
+            iters = 20
+        elif n_active_frames < 4:
+            iters = 15
+        with self.timers.span("dso_opt"):
+            self.ba_state, rmse, ok = ba.optimize(self.ba_state, cfg, iters)
+            self.ba_state = ba.set_new_frame_energy_th(
+                self.ba_state, jnp.int32(slot), cfg)
+            self.ba_state = ba.reset_fej_newest(self.ba_state, jnp.int32(slot))
+        rmse = float(rmse)
+
+        # ---- init-failure / lost gates (FrontEnd.cpp:778-790) --------------
+        gates = self.cfg.runtime.init_rmse_gates
+        nk = len(self.kf_shells)
+        if (nk == 2 and rmse > gates[0]) or (nk == 3 and rmse > gates[1]) or \
+                (nk == 4 and rmse > gates[2]):
+            self.init_failed = True
+            return
+        if not bool(ok):
+            self.is_lost = True
+            return
+
+        # ---- remove outliers + refresh shells ------------------------------
+        no_res = ~jnp.any(self.ba_state.p_res_good & self.ba_state.p_valid[:, None], axis=1)
+        self.ba_state = ba.drop_points(self.ba_state, no_res)
+        self._refresh_kf_shells()
+        shell.T_wc = self._kf_pose(slot)
+        self.cur_pose = shell.T_wc
+
+        # ---- new tracker template ------------------------------------------
+        with self.timers.span("template"):
+            self._build_template(slot, pyr0)
+
+        # ---- stereo scale optimization (FrontEnd.cpp:806-811, 975-1064) ----
+        scale_error = -1.0
+        if cfg.scale_opt.accept_thres > 0 and len(self.kf_shells) > cfg.scale_opt.min_kfs_before_scale:
+            with self.timers.span("scale_opt"):
+                pyr1 = build_pyramid(img1, self.levels)
+                accepted, new_scale, scale_error, self.scale_state = run_scale_optimization(
+                    tuple(pyr1.data), self.template, self.intr0, self.intr1,
+                    jnp.asarray(self.t_cam1_cam0), cfg, self.scale_state,
+                )
+            if accepted:
+                self._apply_scale(new_scale, slot)
+        self.scale_errors[slot] = scale_error
+
+        # ---- flag points for removal & marginalize them --------------------
+        with self.timers.span("point_marg"):
+            self._flag_and_marginalize_points(flagged)
+
+        # ---- new immature traces (FrontEnd.cpp:824, 936-962) ---------------
+        with self.timers.span("feature_detect"):
+            self._make_new_traces(slot, pyr0)
+
+        # ---- marginalize flagged frames ------------------------------------
+        with self.timers.span("frame_marg"):
+            for mslot in flagged:
+                self._marginalize_frame(mslot)
+
+    # ------------------------------------------------------------------
+
+    def _flag_frames_for_marginalization(self, shell) -> List[int]:
+        """FrontEndMarginalize.cpp:62-146."""
+        cfg = self.cfg.ba
+        slots = self._active_slots()
+        if len(slots) < 2:
+            return []
+        newest = slots[-1]
+        aff_all = np.asarray(self.ba_state.aff_current())
+        p_valid = np.asarray(self.ba_state.p_valid)
+        p_host = np.asarray(self.ba_state.p_host)
+        flagged: List[int] = []
+
+        for s in slots:
+            n_in = int((p_valid & (p_host == s)).sum())
+            if s in self.immatures:
+                n_in += int(np.asarray(jnp.sum(self.immatures[s].valid)))
+            n_out = self.slot_stats.get(s, {}).get("out", 0) + \
+                self.slot_stats.get(s, {}).get("marg", 0)
+            a_rel = math.exp(aff_all[newest, 0] - aff_all[s, 0])
+            if (n_in < cfg.min_points_remaining * (n_in + n_out)
+                    or abs(math.log(max(a_rel, 1e-9))) > cfg.max_log_aff_fac_in_window) \
+                    and len(slots) - len(flagged) > cfg.min_frames:
+                flagged.append(s)
+
+        # distance-score marginalization of one more frame
+        if len(slots) - len(flagged) >= cfg.max_frames:
+            fid = np.asarray(self.ba_state.frame_id)
+            latest_id = fid[newest]
+            poses = {s: self._kf_pose(s) for s in slots}
+            best_score, best_slot = 1.0, None
+            for s in slots:
+                if fid[s] > latest_id - cfg.min_frame_age or fid[s] == 0 or s in flagged:
+                    continue
+                dist_score = 0.0
+                for t in slots:
+                    if t == s or fid[t] > latest_id - cfg.min_frame_age + 1:
+                        continue
+                    d = np.linalg.norm(poses[s][:3, 3] - poses[t][:3, 3])
+                    dist_score += 1.0 / (1e-5 + d)
+                d_latest = np.linalg.norm(poses[s][:3, 3] - poses[newest][:3, 3])
+                dist_score *= -math.sqrt(max(d_latest, 1e-12))
+                if dist_score < best_score:
+                    best_score, best_slot = dist_score, s
+            if best_slot is not None:
+                flagged.append(best_slot)
+        return flagged
+
+    # ------------------------------------------------------------------
+
+    def _activate_points(self, new_slot: int):
+        """FrontEnd.cpp:341-500: density-adaptive distance-map gating +
+        batched 1-D idepth optimization + insertion into the point pool."""
+        cfg = self.cfg
+        want = cfg.ba.desired_point_density
+        have = self._point_count()
+        d = self.current_min_act_dist
+        if have < want * 0.66:
+            d -= 0.8
+        if have < want * 0.8:
+            d -= 0.5
+        elif have < want * 0.9:
+            d -= 0.2
+        elif have < want:
+            d -= 0.1
+        if have > want * 1.5:
+            d += 0.8
+        if have > want * 1.3:
+            d += 0.5
+        if have > want * 1.15:
+            d += 0.2
+        if have > want:
+            d += 0.1
+        self.current_min_act_dist = float(np.clip(d, 0.0, 4.0))
+
+        # distance map from active points projected into the new KF (half res)
+        K = np.asarray(self.intr0.K(1), np.float32)  # level-1 intrinsics
+        h2, w2 = self.intr0.h[1], self.intr0.w[1]
+        T_cw_new = np.asarray(self.ba_state.T_current())[new_slot]
+        st = self.ba_state
+        # project active points into new frame at half-res
+        T_all = np.asarray(st.T_current())
+        fx0, fy0, cx0, cy0 = np.asarray(st.calib_current())
+        p_host = np.asarray(st.p_host)
+        T_nh = np.einsum("ij,hjk->hik", T_cw_new, np.linalg.inv(T_all))  # per host
+        Xh = np.stack([
+            (np.asarray(st.p_u) - cx0) / fx0,
+            (np.asarray(st.p_v) - cy0) / fy0,
+            np.ones(self.pool, np.float32),
+        ], -1) / np.maximum(np.asarray(st.p_idepth), 1e-6)[:, None]
+        R = T_nh[p_host, :3, :3]
+        t = T_nh[p_host, :3, 3]
+        pt = np.einsum("pij,pj->pi", R, Xh) + t
+        pu2 = K[0, 0] * pt[:, 0] / pt[:, 2] + K[0, 2]
+        pv2 = K[1, 1] * pt[:, 1] / pt[:, 2] + K[1, 2]
+        proj_ok = np.asarray(st.p_valid) & (pt[:, 2] > 0)
+        dist_map = build_distance_map(
+            jnp.asarray(pu2), jnp.asarray(pv2), jnp.asarray(proj_ok), h2, w2
+        )
+        dist_np = np.asarray(dist_map)
+
+        images = st.images
+        frame_valid = st.frame_valid
+        T_cw_j = st.T_current()
+        aff_j = st.aff_current()
+        calib_j = st.calib_current()
+
+        for slot in list(self.immatures.keys()):
+            if slot == new_slot:
+                continue
+            pts = self.immatures[slot]
+            can = immature.can_activate(pts, cfg)
+            # project candidates into the new frame (half res) for the gate
+            T_w_host = self._kf_pose(slot)
+            T_nh1 = np.linalg.inv(self._kf_pose(new_slot))[None] @ T_w_host  # 4x4
+            KRKi1 = K @ T_nh1[0, :3, :3] @ np.linalg.inv(np.asarray(self.intr0.K(1)))
+            # use mid idepth; level-1 coordinates = (x+0.5)/2-0.5
+            u1 = (np.asarray(pts.u) + 0.5) / 2 - 0.5
+            v1 = (np.asarray(pts.v) + 0.5) / 2 - 0.5
+            id_mid = 0.5 * (np.asarray(pts.idepth_min)
+                            + np.minimum(np.asarray(pts.idepth_max), 1e3))
+            ptp = (np.stack([u1, v1, np.ones_like(u1)], -1) @ KRKi1.T
+                   + (K @ T_nh1[0, :3, 3])[None] * id_mid[:, None])
+            gu = np.clip((ptp[:, 0] / ptp[:, 2] + 0.5).astype(int), 0, w2 - 1)
+            gv = np.clip((ptp[:, 1] / ptp[:, 2] + 0.5).astype(int), 0, h2 - 1)
+            in_b = (ptp[:, 2] > 0) & (gu > 0) & (gv > 0) & (gu < w2 - 1) & (gv < h2 - 1)
+            gate = dist_np[gv, gu] >= self.current_min_act_dist * np.asarray(pts.my_type)
+            want_mask = np.asarray(can) & in_b & gate
+            # delete candidates that will never activate (OOB / outlier)
+            status = np.asarray(pts.status)
+            drop = np.asarray(pts.valid) & (
+                (status == immature.IPS_OUTLIER) | (~in_b & (status == immature.IPS_OOB))
+            )
+            if want_mask.sum() == 0:
+                if drop.any():
+                    self.immatures[slot] = pts._replace(
+                        valid=pts.valid & ~jnp.asarray(drop))
+                continue
+
+            act = immature.activate_points(
+                pts, jnp.int32(slot), images, frame_valid, T_cw_j, aff_j,
+                calib_j, cfg,
+            )
+            ok = np.asarray(act.ok) & want_mask
+            # insert accepted into free pool entries
+            free_pool = np.nonzero(~np.asarray(self.ba_state.p_valid))[0]
+            k = min(len(free_pool), int(ok.sum()))
+            if k > 0:
+                src = np.nonzero(ok)[0][:k]
+                self.ba_state = ba.add_points(
+                    self.ba_state, jnp.asarray(free_pool[:k]), slot,
+                    pts.u[jnp.asarray(src)], pts.v[jnp.asarray(src)],
+                    act.idepth[jnp.asarray(src)],
+                    pts.color[jnp.asarray(src)], pts.weight[jnp.asarray(src)],
+                    jnp.ones(k, bool),
+                )
+            # remove activated + dropped candidates
+            self.immatures[slot] = pts._replace(
+                valid=pts.valid & ~jnp.asarray(ok) & ~jnp.asarray(drop))
+
+    # ------------------------------------------------------------------
+
+    def _refresh_kf_shells(self):
+        """Push optimized window poses back into the shells
+        (FrontEndOptimize.cpp:475-481)."""
+        fid = np.asarray(self.ba_state.frame_id)
+        for s in self._active_slots():
+            pose = self._kf_pose(s)
+            k = int(fid[s]) - self.prev_kf_count
+            if 0 <= k < len(self.kf_shells):
+                self.kf_shells[k].T_wc = pose
+
+    def _build_template(self, ref_slot: int, pyr_ref: Pyramid):
+        """makeCoarseDepthL0 input prep: project all window points into the
+        reference KF with BA idepth-hessian weights."""
+        st = self.ba_state
+        lin = ba.linearize(st, self.cfg)
+        T_all = np.asarray(st.T_current())
+        fx0, fy0, cx0, cy0 = np.asarray(st.calib_current())
+        T_rh = np.einsum("ij,hjk->hik", T_all[ref_slot], np.linalg.inv(T_all))
+        p_host = np.asarray(st.p_host)
+        Xh = np.stack([
+            (np.asarray(st.p_u) - cx0) / fx0,
+            (np.asarray(st.p_v) - cy0) / fy0,
+            np.ones(self.pool, np.float32),
+        ], -1) / np.maximum(np.asarray(st.p_idepth), 1e-6)[:, None]
+        R = T_rh[p_host, :3, :3]
+        t = T_rh[p_host, :3, 3]
+        pt = np.einsum("pij,pj->pi", R, Xh) + t
+        proj_u = fx0 * pt[:, 0] / pt[:, 2] + cx0
+        proj_v = fy0 * pt[:, 1] / pt[:, 2] + cy0
+        new_id = 1.0 / np.maximum(pt[:, 2], 1e-6)
+        valid = np.asarray(st.p_valid) & (pt[:, 2] > 0)
+        # weight = sqrt(1e-3 / HdiF) = sqrt(1e-3 * Hdd) (TAS.cpp:158)
+        w = np.sqrt(1e-3 * np.maximum(np.asarray(lin.Hdd), 1e-9))
+
+        self.template = build_template(
+            jnp.asarray(proj_u), jnp.asarray(proj_v), jnp.asarray(new_id),
+            jnp.asarray(w), pyr_ref.data[0][..., 0], self.levels, self.budgets,
+            valid=jnp.asarray(valid),
+        )
+        self.template_kf_slot = ref_slot
+        aff = np.asarray(st.aff_current())[ref_slot]
+        self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))
+        self.template_ref_exposure = jnp.float32(1.0)
+        self.first_coarse_rmse = -1.0
+        self.last_coarse_rmse = 1e9
+
+    def _apply_scale(self, new_scale: float, newest_slot: int):
+        """FrontEnd.cpp:1030-1055: rescale template, window idepths, and the
+        newest KF's translation to its tracking reference."""
+        s = float(new_scale)
+        self.template = scale_template_idepth(self.template, jnp.float32(s))
+        st = self.ba_state
+        new_idepth = jnp.where(st.p_valid, st.p_idepth / s, st.p_idepth)
+        st = st._replace(p_idepth=new_idepth, p_idepth_zero=new_idepth)
+        # rescale newest KF translation relative to its tracking ref KF
+        shell = self.kf_shells[-1]
+        ref_kf = shell.tracking_ref_kf - self.prev_kf_count
+        if 0 <= ref_kf < len(self.kf_shells) - 1:
+            T_w_ref = self.kf_shells[ref_kf].T_wc
+            T_ref_new = np.linalg.inv(T_w_ref) @ shell.T_wc
+            T_ref_new[:3, 3] *= s
+            shell.T_wc = (T_w_ref @ T_ref_new).astype(np.float32)
+            T_cw = np.linalg.inv(shell.T_wc).astype(np.float32)
+            st = st._replace(
+                T_zero=st.T_zero.at[newest_slot].set(jnp.asarray(T_cw)),
+                delta=st.delta.at[newest_slot, :6].set(0.0),
+            )
+            self.cur_pose = shell.T_wc
+        self.ba_state = st
+
+    def _flag_and_marginalize_points(self, flagged_slots: List[int]):
+        """flagPointsForRemoval (FrontEnd.cpp:504-583) + ef drop/marginalize."""
+        cfg = self.cfg
+        st = self.ba_state
+        lin = ba.linearize(st, cfg)
+        p_valid = np.asarray(st.p_valid)
+        p_host = np.asarray(st.p_host)
+        idepth = np.asarray(st.p_idepth)
+        n_good = np.asarray(jnp.sum(lin.pair_good, axis=1))
+        Hdd = np.asarray(lin.Hdd)
+
+        host_flagged = np.isin(p_host, flagged_slots)
+        bad = p_valid & ((idepth < 0) | (n_good == 0))
+        leaving = p_valid & host_flagged & ~bad
+        marg = leaving & (Hdd > cfg.ba.min_idepth_h_marg) & (n_good >= 1)
+        drop = bad | (leaving & ~marg)
+
+        for s in set(p_host[marg & p_valid]):
+            self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})["marg"] += int(
+                (marg & (p_host == s)).sum())
+        for s in set(p_host[drop & p_valid]):
+            self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})["out"] += int(
+                (drop & (p_host == s)).sum())
+
+        if marg.any():
+            self.ba_state = ba.marginalize_points(self.ba_state, jnp.asarray(marg), cfg)
+        if drop.any():
+            self.ba_state = ba.drop_points(self.ba_state, jnp.asarray(drop))
+        self._last_marg_mask = marg  # for the loop handler's point export
+
+    def _make_new_traces(self, slot: int, pyr0: Pyramid):
+        """makeNewTraces (FrontEnd.cpp:936-962) with density feedback."""
+        cfg = self.cfg
+        sel, count = make_selection_map(
+            pyr0.abs_grad[0], pyr0.abs_grad[1], pyr0.abs_grad[2], self.pot, cfg
+        )
+        got = int(count)
+        self.pot = adapt_potential(self.pot, got, cfg.ba.desired_immature_density)
+        self.immatures[slot] = immature.create_points(
+            pyr0.data[0], sel, cfg.ba.max_immature_per_frame
+        )
+
+    def _marginalize_frame(self, slot: int):
+        """FrontEndMarginalize.cpp:148-215: compute dso_error, export the
+        marginalized KF to the loop queue, Schur-remove the frame."""
+        cfg = self.cfg
+        st = self.ba_state
+        lin = ba.linearize(st, cfg)
+
+        # dso_error: energy of residuals targeting the frame / count^2
+        pair_good = np.asarray(lin.pair_good)
+        pair_e = np.asarray(lin.pair_energy)
+        tgt = pair_good[:, slot]
+        cnt = int(tgt.sum())
+        if cnt > 0:
+            dso_error = float(pair_e[tgt, slot].sum()) / cnt / cnt
+        else:
+            dso_error = 10.0 * self.last_dso_error
+        self.last_dso_error = dso_error
+
+        # export marginalized points (this slot's points that were just
+        # folded into the prior) + level colors for the loop handler
+        marg_mask = getattr(self, "_last_marg_mask", np.zeros(self.pool, bool))
+        sel = marg_mask & (np.asarray(st.p_host) == slot)
+        fx0, fy0, cx0, cy0 = np.asarray(st.calib_current())
+        pu = np.asarray(st.p_u)[sel]
+        pv = np.asarray(st.p_v)[sel]
+        pid = np.maximum(np.asarray(st.p_idepth)[sel], 1e-6)
+        pts_cam = np.stack(
+            [(pu - cx0) / fx0 / pid, (pv - cy0) / fy0 / pid, 1.0 / pid], -1
+        )
+        colors = np.asarray(st.p_color)[sel][:, 4:5]  # center intensity
+
+        fid = int(np.asarray(st.frame_id)[slot])
+        k = fid - self.prev_kf_count
+        shell = self.kf_shells[k] if 0 <= k < len(self.kf_shells) else None
+        self.marginalized_queue.append(MarginalizedKF(
+            kf_id=fid,
+            incoming_id=shell.incoming_id if shell else -1,
+            timestamp=shell.timestamp if shell else 0.0,
+            T_wc=self._kf_pose(slot),
+            dso_error=dso_error,
+            scale_error=self.scale_errors.get(slot, -1.0),
+            pts_cam=pts_cam,
+            pts_colors=colors,
+            pyr=None,
+        ))
+
+        self.ba_state = ba.marginalize_frame(self.ba_state, jnp.int32(slot))
+        self.immatures.pop(slot, None)
+        self.slot_stats.pop(slot, None)
+        self.scale_errors.pop(slot, None)

@@ -1,0 +1,119 @@
+"""SLAM node driver: the reference's ``SLAMNode`` (main.cpp:44-265).
+
+Owns undistorters, the front end and the loop handler; feeds synced stereo
+pairs; detects new sequences by timestamp gap (>10 s -> lost,
+main.cpp:222-227); reinitializes the front end on loss/init-failure while
+preserving the current pose, the keyframe-count offset and the loop
+handler (main.cpp:229-245); prints the per-stage timing table at shutdown
+(main.cpp:178-210).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import SLAMConfig
+from ..geometry.camera import PyramidIntrinsics, make_pyramid_intrinsics
+from ..models.frontend import FrontEnd
+from ..utils.timing import StageTimers
+
+
+class SLAMNode:
+    def __init__(
+        self,
+        cfg: SLAMConfig,
+        intr0: PyramidIntrinsics,
+        intr1: PyramidIntrinsics,
+        t_cam1_cam0: np.ndarray,
+        loop_handler=None,
+        undistorter0=None,
+        undistorter1=None,
+    ):
+        self.cfg = cfg
+        self.intr0 = intr0
+        self.intr1 = intr1
+        self.t_cam1_cam0 = np.asarray(t_cam1_cam0, np.float32)
+        self.undistorter0 = undistorter0
+        self.undistorter1 = undistorter1
+        self.loop_handler = loop_handler
+        self.timers = StageTimers()
+
+        self.frontend = FrontEnd(cfg, intr0, intr1, self.t_cam1_cam0,
+                                 timers=self.timers)
+        self.incoming_id = 0
+        self.current_timestamp = -1.0
+
+    def process(self, img0, img1, timestamp: float):
+        """One synced stereo pair (imageMessageCallback, main.cpp:212-265)."""
+        # new-sequence detection
+        if (
+            self.current_timestamp > 0
+            and abs(timestamp - self.current_timestamp) > self.cfg.runtime.sequence_gap_seconds
+        ):
+            self.frontend.is_lost = True
+        self.current_timestamp = timestamp
+
+        # reinitialize preserving pose + KF offset (main.cpp:229-245)
+        if self.frontend.init_failed or self.frontend.is_lost:
+            last_pose = self.frontend.cur_pose
+            prev_kf = self.frontend.num_kfs + self.frontend.prev_kf_count
+            queue = self.frontend.marginalized_queue
+            self.frontend = FrontEnd(
+                self.cfg, self.intr0, self.intr1, self.t_cam1_cam0,
+                prev_kf_count=prev_kf, timers=self.timers,
+            )
+            self.frontend.cur_pose = last_pose
+            self.frontend.marginalized_queue = queue
+            # mark the sequence restart for the pose graph: the first
+            # marginalized KF of the new sequence carries dso_error = NaN so
+            # it gets no odometry constraint (FrontEndMarginalize.cpp:197-202)
+            self.frontend.last_dso_error = float("nan")
+
+        if self.undistorter0 is not None:
+            img0 = self.undistorter0(img0)
+        if self.undistorter1 is not None:
+            img1 = self.undistorter1(img1)
+
+        with self.timers.span("per_frame"):
+            shell = self.frontend.add_stereo_frame(
+                img0, img1, self.incoming_id, timestamp
+            )
+        self.incoming_id += 1
+
+        # hand marginalized KFs to the loop handler
+        if self.loop_handler is not None:
+            while self.frontend.marginalized_queue:
+                self.loop_handler.publish_keyframe(
+                    self.frontend.marginalized_queue.pop(0))
+        return shell
+
+    def finish(self):
+        """Flush remaining window KFs as trajectory records and return the
+        odometry trajectory rows (incoming_id x y z), the reference's
+        sodso.txt content (LoopHandler.cpp:60-80)."""
+        if self.loop_handler is not None:
+            while self.frontend.marginalized_queue:
+                self.loop_handler.publish_keyframe(
+                    self.frontend.marginalized_queue.pop(0))
+        rows = []
+        if self.loop_handler is not None:
+            rows = self.loop_handler.odometry_rows()
+        return rows
+
+    def timing_report(self) -> str:
+        names = [
+            "feature_detect", "scale_opt", "dso_opt", "track", "trace",
+            "activate", "template", "point_marg", "frame_marg",
+            "pts_generation", "sc_generation", "search_ringkey", "search_sc",
+            "direct_est", "icp", "pose_graph_opt", "per_frame",
+        ]
+        return self.timers.report([n for n in names if n in self.timers.times])
+
+
+def write_trajectory(path: str, rows):
+    """Write `incoming_id x y z` rows (sodso.txt/dslam.txt format)."""
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r[0]} {r[1]:.6f} {r[2]:.6f} {r[3]:.6f}\n")

@@ -1,0 +1,164 @@
+"""Pixel selector + immature point trace/activation tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from direct_stereo_slam_tpu.config import make_config
+from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
+from direct_stereo_slam_tpu.models import immature
+from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
+from direct_stereo_slam_tpu.ops.select import adapt_potential, make_selection_map
+
+W, H = 320, 96
+
+
+def setup():
+    ds = SyntheticStereoDataset(n_frames=3, width=W, height=H, speed=0.4)
+    cfg = make_config(W, H, preset=0, mode=1)
+    return ds, cfg
+
+
+class TestSelector:
+    def test_selection_counts_and_types(self):
+        ds, cfg = setup()
+        f = ds.frame(0)
+        pyr = build_pyramid(f["img0"], 3)
+        sel, count = make_selection_map(
+            pyr.abs_grad[0], pyr.abs_grad[1], pyr.abs_grad[2], 5, cfg
+        )
+        c = int(count)
+        assert 100 < c < W * H // 4
+        vals = np.unique(np.asarray(sel))
+        assert set(vals.tolist()) <= {0, 1, 2, 4}
+
+    def test_potential_controls_density(self):
+        ds, cfg = setup()
+        f = ds.frame(0)
+        pyr = build_pyramid(f["img0"], 3)
+        counts = []
+        for pot in (3, 6, 12):
+            _, count = make_selection_map(
+                pyr.abs_grad[0], pyr.abs_grad[1], pyr.abs_grad[2], pot, cfg
+            )
+            counts.append(int(count))
+        assert counts[0] > counts[1] > counts[2]
+
+    def test_adapt_potential(self):
+        assert adapt_potential(5, got=100, want=1000) < 5
+        assert adapt_potential(5, got=5000, want=1000) > 5
+        assert adapt_potential(5, got=1000, want=1000) == 5
+
+
+class TestTraceActivation:
+    def make_points(self, ds, cfg, n_budget=512):
+        f0 = ds.frame(0)
+        pyr0 = build_pyramid(f0["img0"], 3)
+        sel, _ = make_selection_map(
+            pyr0.abs_grad[0], pyr0.abs_grad[1], pyr0.abs_grad[2], 6, cfg
+        )
+        pts = immature.create_points(pyr0.data[0], sel, n_budget)
+        return f0, pyr0, pts
+
+    def test_create_points(self):
+        ds, cfg = setup()
+        f0, pyr0, pts = self.make_points(ds, cfg)
+        n = int(jnp.sum(pts.valid))
+        assert n > 100
+        img = np.asarray(f0["img0"])
+        m = np.asarray(pts.valid)
+        pu = np.asarray(pts.u)[m].astype(int)
+        pv = np.asarray(pts.v)[m].astype(int)
+        np.testing.assert_allclose(np.asarray(pts.color)[m, 4], img[pv, pu], atol=1e-3)
+
+    def test_stereo_trace_recovers_depth(self):
+        """Trace left-image points against the right image: the recovered
+        idepth interval must bracket ground truth."""
+        ds, cfg = setup()
+        f0, pyr0, pts = self.make_points(ds, cfg)
+        pyr1 = build_pyramid(f0["img1"], 1)
+        K = ds.K
+        # host(cam0) -> target(cam1): T_stereo is pose of cam0 in cam1
+        T = ds.t_cam1_cam0
+        KRKi = jnp.asarray(K @ T[:3, :3] @ np.linalg.inv(K), jnp.float32)
+        Kt = jnp.asarray(K @ T[:3, 3], jnp.float32)
+
+        out = immature.trace_points(
+            pts, pyr1.data[0], KRKi, Kt, jnp.float32(1.0), jnp.float32(0.0), cfg
+        )
+        good = np.asarray(out.status) == immature.IPS_GOOD
+        assert good.sum() > 50, f"only {good.sum()} good traces"
+
+        depth_gt = np.asarray(f0["depth0"])
+        gu = np.asarray(out.u)[good].astype(int)
+        gv = np.asarray(out.v)[good].astype(int)
+        id_gt = 1.0 / depth_gt[gv, gu]
+        id_mid = 0.5 * (np.asarray(out.idepth_min) + np.asarray(out.idepth_max))[good]
+        rel = np.abs(id_mid - id_gt) / id_gt
+        # trace step is 1 px; with fx*baseline ~ 100, idepth resolution at
+        # idepth 0.1 is ~10%; median should be well inside that
+        assert np.median(rel) < 0.15, np.median(rel)
+        # intervals should mostly bracket GT (with slack)
+        inside = (
+            (np.asarray(out.idepth_min)[good] - 0.05 * id_gt <= id_gt)
+            & (id_gt <= np.asarray(out.idepth_max)[good] + 0.05 * id_gt)
+        )
+        assert inside.mean() > 0.8, inside.mean()
+
+    def test_mono_trace_narrows_interval(self):
+        """Repeated traces against successive frames shrink the interval."""
+        ds, cfg = setup()
+        f0, pyr0, pts = self.make_points(ds, cfg)
+        K = ds.K
+        Ki = np.linalg.inv(K)
+        widths = []
+        for i in (1, 2):
+            fi = ds.frame(i)
+            pyr_t = build_pyramid(fi["img0"], 1)
+            T_th = np.linalg.inv(fi["pose_w_c0"]) @ f0["pose_w_c0"]
+            KRKi = jnp.asarray(K @ T_th[:3, :3] @ Ki, jnp.float32)
+            Kt = jnp.asarray(K @ T_th[:3, 3], jnp.float32)
+            pts = immature.trace_points(
+                pts, pyr_t.data[0], KRKi, Kt, jnp.float32(1.0), jnp.float32(0.0), cfg
+            )
+            good = np.asarray(pts.status) == immature.IPS_GOOD
+            w = (np.asarray(pts.idepth_max) - np.asarray(pts.idepth_min))[good]
+            widths.append(np.median(w))
+            assert good.sum() > 30
+        assert widths[1] <= widths[0] * 1.5  # interval stays bounded/shrinks
+
+    def test_activation(self):
+        ds, cfg = setup()
+        f0, pyr0, pts = self.make_points(ds, cfg)
+        K = ds.K
+        Ki = np.linalg.inv(K)
+        # trace against frames 1 and 2 to establish intervals
+        frames = [ds.frame(i) for i in range(3)]
+        for i in (1, 2):
+            T_th = np.linalg.inv(frames[i]["pose_w_c0"]) @ f0["pose_w_c0"]
+            pyr_t = build_pyramid(frames[i]["img0"], 1)
+            pts = immature.trace_points(
+                pts, pyr_t.data[0],
+                jnp.asarray(K @ T_th[:3, :3] @ Ki, jnp.float32),
+                jnp.asarray(K @ T_th[:3, 3], jnp.float32),
+                jnp.float32(1.0), jnp.float32(0.0), cfg,
+            )
+        can = immature.can_activate(pts, cfg)
+        assert int(jnp.sum(can)) > 30
+
+        images = jnp.stack([build_pyramid(f["img0"], 1).data[0] for f in frames])
+        T_cw = jnp.asarray(
+            np.stack([np.linalg.inv(f["pose_w_c0"]) for f in frames]), jnp.float32
+        )
+        out = immature.activate_points(
+            pts, jnp.int32(0), images, jnp.ones(3, bool), T_cw,
+            jnp.zeros((3, 2)), jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            cfg,
+        )
+        ok = np.asarray(out.ok & can)
+        assert ok.sum() > 20
+        depth_gt = np.asarray(f0["depth0"])
+        gu = np.asarray(pts.u)[ok].astype(int)
+        gv = np.asarray(pts.v)[ok].astype(int)
+        id_gt = 1.0 / depth_gt[gv, gu]
+        rel = np.abs(np.asarray(out.idepth)[ok] - id_gt) / id_gt
+        assert np.median(rel) < 0.08, np.median(rel)
