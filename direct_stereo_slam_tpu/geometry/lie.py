@@ -84,18 +84,31 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = jnp.linalg.norm(w, axis=-1)
+    # NaN-safe-under-autodiff norm: freeze the argument of sqrt near zero so
+    # the unselected branch of the `where` below cannot poison gradients
+    # (jacfwd/grad flow through BOTH branches of jnp.where).
+    sin_sq = jnp.sum(w * w, axis=-1)
+    tiny = sin_sq < 1e-12
+    sin_theta = jnp.sqrt(jnp.where(tiny, 1e-12, sin_sq))
+    sin_theta = jnp.where(tiny, 0.0, sin_theta)
     # atan2 is well conditioned everywhere except theta ~ pi (handled below)
     theta = jnp.arctan2(sin_theta, cos_theta)
     small = theta < 1e-5
     near_pi = theta > jnp.pi - 1e-2
-    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / jnp.where(jnp.abs(sin_theta) < 1e-10, 1.0, sin_theta))
+    sin_safe = jnp.where(jnp.abs(sin_theta) < 1e-10, 1.0, sin_theta)
+    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / sin_safe)
     w_generic = w * scale[..., None]
     # near pi: use diagonal formula w_i = theta * sqrt((R_ii - cos)/ (1-cos)),
     # signs from the antisymmetric part (or largest diagonal if degenerate).
-    one_minus_cos = jnp.maximum(1.0 - cos_theta, 1e-12)
+    # freeze the ratio where the branch is unselected (gradient safety).
+    one_minus_cos = jnp.where(near_pi, jnp.maximum(1.0 - cos_theta, 1e-12), 1.0)
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_abs = jnp.sqrt(jnp.maximum((diag - cos_theta[..., None]) / one_minus_cos[..., None], 0.0))
+    ratio = jnp.where(
+        near_pi[..., None],
+        jnp.maximum((diag - cos_theta[..., None]) / one_minus_cos[..., None], 0.0),
+        1.0,
+    )
+    axis_abs = jnp.sqrt(ratio)
     # recover signs from off-diagonal sums: sign(axis_i * axis_j) = sign(R_ij + R_ji)
     s01 = R[..., 0, 1] + R[..., 1, 0]
     s02 = R[..., 0, 2] + R[..., 2, 0]

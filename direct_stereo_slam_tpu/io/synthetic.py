@@ -25,14 +25,20 @@ from ..geometry import lie
 
 
 class SyntheticScene(NamedTuple):
-    """Axis-aligned planes: n . x = c, with validity boxes. Camera convention:
-    x right, y down, z forward (world = first camera frame)."""
+    """Axis-aligned planes (n . x = c) plus axis-aligned boxes. Camera
+    convention: x right, y down, z forward (world = first camera frame).
+    Boxes give the world distinctive local structure (occlusions, depth
+    variety, asymmetric LiDAR scans for loop-closure tests)."""
 
     # plane normals [P, 3], offsets [P]
     normals: jnp.ndarray
     offsets: jnp.ndarray
     # texture phase offsets per plane [P, 2] to decorrelate the walls
     tex_phase: jnp.ndarray
+    # boxes: centers [B, 3], half extents [B, 3], phases [B, 2]
+    box_centers: jnp.ndarray
+    box_half: jnp.ndarray
+    box_phase: jnp.ndarray
 
 
 def default_scene(
@@ -41,6 +47,9 @@ def default_scene(
     front_z: float = 60.0,
     back_z: float = -20.0,
     ceil_y: float = -6.0,
+    n_boxes: int = 0,
+    box_seed: int = 0,
+    box_area: float = 20.0,
 ) -> SyntheticScene:
     normals = jnp.array(
         [
@@ -60,7 +69,21 @@ def default_scene(
         [[0.0, 0.0], [1.7, 0.4], [3.1, 2.2], [0.9, 4.0], [2.5, 1.1], [4.2, 3.3]],
         dtype=jnp.float32,
     )
-    return SyntheticScene(normals, offsets, tex_phase)
+    if n_boxes > 0:
+        rng = np.random.RandomState(box_seed)
+        centers = np.stack([
+            rng.uniform(-box_area, box_area, n_boxes),
+            rng.uniform(ground_y - 3.0, ground_y - 0.5, n_boxes),
+            rng.uniform(-box_area * 0.5, box_area * 1.5, n_boxes),
+        ], -1).astype(np.float32)
+        half = rng.uniform(0.4, 2.5, (n_boxes, 3)).astype(np.float32)
+        phase = rng.uniform(0, 6.28, (n_boxes, 2)).astype(np.float32)
+    else:
+        centers = np.zeros((1, 3), np.float32) + 1e6   # far away, never hit
+        half = np.full((1, 3), 1e-3, np.float32)
+        phase = np.zeros((1, 2), np.float32)
+    return SyntheticScene(normals, offsets, tex_phase,
+                          jnp.asarray(centers), jnp.asarray(half), jnp.asarray(phase))
 
 
 def _texture(p: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
@@ -110,11 +133,30 @@ def render(
     t_hit = jnp.min(t, axis=-1)                          # [H, W]
     plane_idx = jnp.argmin(t, axis=-1)
 
-    p_world = o[None, None, :] + d_world * t_hit[..., None]
-    phase = scene.tex_phase[plane_idx]
+    # boxes: slab-method ray-AABB intersection, nearest entry wins
+    inv_d = 1.0 / jnp.where(jnp.abs(d_world) < 1e-9, 1e-9, d_world)  # [H,W,3]
+    lo = scene.box_centers - scene.box_half              # [B, 3]
+    hi = scene.box_centers + scene.box_half
+    t_lo = (lo[None, None, :, :] - o[None, None, None, :]) * inv_d[:, :, None, :]
+    t_hi = (hi[None, None, :, :] - o[None, None, None, :]) * inv_d[:, :, None, :]
+    t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)   # [H, W, B]
+    t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    box_hit = (t_near <= t_far) & (t_near > 0.1)
+    t_box = jnp.where(box_hit, t_near, jnp.inf)
+    t_box_min = jnp.min(t_box, axis=-1)                  # [H, W]
+    box_idx = jnp.argmin(t_box, axis=-1)
+
+    use_box = t_box_min < t_hit
+    t_final = jnp.where(use_box, t_box_min, t_hit)
+    p_world = o[None, None, :] + d_world * t_final[..., None]
+    phase = jnp.where(
+        use_box[..., None],
+        scene.box_phase[box_idx],
+        scene.tex_phase[plane_idx],
+    )
     img = _texture(p_world, phase)
     img = jnp.clip(img, 0.0, 255.0)
-    depth = t_hit  # camera z-depth since d_cam z == 1
+    depth = t_final  # camera z-depth since d_cam z == 1
     return img, depth
 
 
@@ -142,12 +184,12 @@ def forward_trajectory(n_frames: int, speed: float = 0.3, yaw_rate: float = 0.0)
     return np.stack(poses)
 
 
-def loop_trajectory(n_frames: int, radius: float = 12.0):
-    """Closed circular trajectory in the x-z plane (revisits the start),
-    for loop-closure tests."""
+def loop_trajectory(n_frames: int, radius: float = 12.0, laps: float = 1.0):
+    """Circular trajectory in the x-z plane; ``laps`` > 1 revisits earlier
+    positions (same heading) for loop-closure tests."""
     poses = []
     for i in range(n_frames):
-        ang = 2.0 * np.pi * i / n_frames
+        ang = laps * 2.0 * np.pi * i / n_frames
         # camera position on circle, looking along the tangent
         cx_ = radius * np.sin(ang)
         cz_ = radius * (1.0 - np.cos(ang))

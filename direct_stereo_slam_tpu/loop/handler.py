@@ -1,0 +1,260 @@
+"""Loop handler: place recognition + loop correction + pose graph owner.
+
+Equivalent of the reference's ``LoopHandler`` (loop_closure/LoopHandler.cpp):
+consumes marginalized keyframes, maintains the rolling nearby point cloud
+and ringkey database, runs Scan Context retrieval, tries direct alignment
+then ICP, adds odometry/loop edges with the reference's information
+weighting (LoopHandler.h:36-64), runs pose-graph optimization on each
+accepted loop, and records both trajectories (sodso/dslam).
+
+Runs synchronously by default (deterministic tests/benchmarks); pass
+``threaded=True`` to process keyframes on a background thread like the
+reference's ``run()`` loop (LoopHandler.cpp:198-352)."""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import SLAMConfig
+from ..geometry.camera import PyramidIntrinsics
+from ..models.frontend import MarginalizedKF
+from ..utils.timing import StageTimers
+from . import icp as icp_mod
+from . import pose_estimator, pose_graph, retrieval, scan, scancontext
+
+import jax.numpy as jnp
+
+
+@dataclass
+class LoopFrame:
+    kf_id: int
+    incoming_id: int
+    T_wc: np.ndarray               # current (pose-graph) estimate
+    t_wc_orig: np.ndarray          # original translation (sodso record)
+    dso_error: float
+    scale_error: float
+    signature: Optional[np.ndarray] = None
+    tfm_pca_rig: Optional[np.ndarray] = None
+    pts_cam: Optional[np.ndarray] = None       # sparse points, camera frame
+    pts_colors: Optional[np.ndarray] = None    # [K, L]
+    pts_spherical: Optional[np.ndarray] = None # scan, camera frame
+    edges: List = field(default_factory=list)  # (other_idx, Z, w_t, w_r)
+
+
+class LoopHandler:
+    def __init__(self, cfg: SLAMConfig, intr: PyramidIntrinsics,
+                 timers: Optional[StageTimers] = None, threaded: bool = False):
+        self.cfg = cfg
+        self.intr = intr
+        self.timers = timers if timers is not None else StageTimers()
+        self.frames: List[LoopFrame] = []
+        self.cloud = scan.NearbyPointCloud(cfg)
+        self.ringkeys = retrieval.RingkeyDatabase(
+            cfg.loop.knn, cfg.loop.loop_margin, cfg.loop.ringkey_thres)
+        self.signatures: List[np.ndarray] = []
+        self.direct_loop_count = 0
+        self.icp_loop_count = 0
+        self.cur_id = -1
+
+        self.threaded = threaded
+        if threaded:
+            self._q: "queue.Queue[MarginalizedKF]" = queue.Queue()
+            self._stop = threading.Event()
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    def publish_keyframe(self, mkf: MarginalizedKF):
+        """Reference publishKeyframes (LoopHandler.cpp:144-196): point
+        extraction + scan generation on the caller side, then enqueue."""
+        if mkf.kf_id <= self.cur_id:   # keep id increasing (cpp:148-151)
+            return
+        self.cur_id = mkf.kf_id
+        if self.threaded:
+            self._q.put(mkf)
+        else:
+            self._process(mkf)
+
+    def join(self):
+        if self.threaded:
+            self._q.join()
+
+    def close(self):
+        if self.threaded:
+            self._q.join()
+            self._stop.set()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                mkf = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                self._process(mkf)
+            finally:
+                self._q.task_done()
+
+    # ------------------------------------------------------------------
+
+    def _process(self, mkf: MarginalizedKF):
+        lp = self.cfg.loop
+        lc_enabled = lp.lidar_range > 0 and mkf.scale_error > 0
+
+        pts_spherical = np.zeros((0, 3))
+        if lc_enabled:
+            with self.timers.span("pts_generation"):
+                pts_world = mkf.pts_cam @ mkf.T_wc[:3, :3].T + mkf.T_wc[:3, 3]
+                self.cloud.add_keyframe_points(mkf.kf_id, mkf.T_wc, pts_world)
+                T_cw = np.linalg.inv(mkf.T_wc)
+                pts_spherical = self.cloud.generate_scan(T_cw)
+
+        lf = LoopFrame(
+            kf_id=mkf.kf_id,
+            incoming_id=mkf.incoming_id,
+            T_wc=np.asarray(mkf.T_wc, np.float64).copy(),
+            t_wc_orig=np.asarray(mkf.T_wc[:3, 3], np.float64).copy(),
+            dso_error=mkf.dso_error * lp.dso_error_scale,
+            scale_error=mkf.scale_error * lp.scale_error_scale,
+            pts_cam=mkf.pts_cam,
+            pts_colors=mkf.pts_colors,
+            pts_spherical=pts_spherical,
+        )
+        idx = len(self.frames)
+        self.frames.append(lf)
+        self.signatures.append(np.zeros(lp.num_sectors * lp.num_rings))
+
+        # odometry edge to the previous keyframe (cpp:214-222); NaN dso_error
+        # marks a sequence restart -> no constraint (cpp:119-121)
+        if idx > 0 and math.isfinite(lf.dso_error):
+            prev = self.frames[idx - 1]
+            Z = np.linalg.inv(lf.T_wc) @ prev.T_wc   # T_cur^-1 T_prev
+            w_t = (1.0 / lf.scale_error if lf.scale_error > 0 else 1e-9) / max(lf.dso_error, 1e-12)
+            w_r = lp.pose_r_weight / max(lf.dso_error, 1e-12)
+            lf.edges.append((idx - 1, Z, w_t, w_r))
+
+        if not lc_enabled or len(pts_spherical) < 10:
+            return
+
+        # ---- Scan Context + retrieval (cpp:231-259) ----------------------
+        with self.timers.span("sc_generation"):
+            sc = scancontext.generate(
+                pts_spherical, lp.lidar_range, lp.num_sectors, lp.num_rings)
+        lf.signature = sc.signature
+        lf.tfm_pca_rig = sc.tfm_pca_rig
+        self.signatures[idx] = sc.signature
+
+        with self.timers.span("search_ringkey"):
+            candidates = self.ringkeys.search_and_insert(sc.ringkey)
+        if not candidates:
+            return
+        candidates = [c for c in candidates
+                      if self.frames[c].tfm_pca_rig is not None]
+        if not candidates:
+            return
+
+        with self.timers.span("search_sc"):
+            match_idx, sc_diff = retrieval.search_signatures(
+                sc.signature, self.signatures, candidates, lp.num_sectors)
+        if sc_diff >= lp.scan_context_thres:
+            return
+
+        matched = self.frames[match_idx]
+
+        # initial guess from the PCA alignment (cpp:267-268)
+        tfm_cur_matched = np.linalg.inv(sc.tfm_pca_rig) @ matched.tfm_pca_rig
+
+        # ---- direct alignment, then ICP fallback (cpp:270-296) -----------
+        direct_ok = False
+        pose_error = float("inf")
+        if mkf.pyr is not None and matched.pts_cam is not None and len(matched.pts_cam) >= 8:
+            with self.timers.span("direct_est"):
+                K = matched.pts_cam
+                kmax = self.cfg.loop.max_loop_points
+                k = min(len(K), kmax)
+                px = np.zeros(kmax, np.float32)
+                py = np.zeros(kmax, np.float32)
+                pz = np.ones(kmax, np.float32)
+                cols = np.zeros((kmax, self.cfg.tracker.pyr_levels), np.float32)
+                mask = np.zeros(kmax, bool)
+                px[:k], py[:k], pz[:k] = K[:k, 0], K[:k, 1], K[:k, 2]
+                ncols = matched.pts_colors.shape[1]
+                cols[:k, :ncols] = matched.pts_colors[:k]
+                if ncols < cols.shape[1]:
+                    cols[:k, ncols:] = matched.pts_colors[:k, -1:]
+                mask[:k] = True
+                res = pose_estimator.estimate(
+                    tuple(mkf.pyr), jnp.asarray(px), jnp.asarray(py),
+                    jnp.asarray(pz), jnp.asarray(cols), jnp.asarray(mask),
+                    jnp.asarray(tfm_cur_matched, jnp.float32),
+                    self.intr, self.cfg,
+                )
+                direct_ok = bool(res.ok)
+                if direct_ok:
+                    tfm_cur_matched = np.asarray(res.T, np.float64)
+                    pose_error = float(res.pose_error) * self.cfg.loop.direct_error_scale
+
+        icp_ok = False
+        if not direct_ok:
+            with self.timers.span("icp"):
+                icp_ok, tfm_icp, fitness = icp_mod.icp(
+                    matched.pts_spherical, pts_spherical, tfm_cur_matched,
+                    self.cfg.loop.icp_max_iterations,
+                    self.cfg.loop.icp_max_corr_dist,
+                    self.cfg.loop.icp_transformation_eps,
+                    self.cfg.loop.icp_thres,
+                )
+                if icp_ok:
+                    tfm_cur_matched = tfm_icp
+                    pose_error = fitness * self.cfg.loop.icp_error_scale
+
+        if not (direct_ok or icp_ok):
+            return
+        if direct_ok:
+            self.direct_loop_count += 1
+        else:
+            self.icp_loop_count += 1
+
+        # loop edge (cpp:306-310)
+        w_t = (1.0 / matched.scale_error if matched.scale_error > 0 else 1e-9) \
+            / max(pose_error, 1e-12)
+        w_r = self.cfg.loop.pose_r_weight / max(pose_error, 1e-12)
+        lf.edges.append((match_idx, tfm_cur_matched, w_t, w_r))
+
+        # ---- pose-graph optimization (cpp:314-329) ------------------------
+        with self.timers.span("pose_graph_opt"):
+            self._optimize()
+
+    # ------------------------------------------------------------------
+
+    def _optimize(self):
+        edges = []
+        for i, lf in enumerate(self.frames):
+            for (j, Z, w_t, w_r) in lf.edges:
+                edges.append((i, j, np.asarray(Z, np.float32), w_t, w_r))
+        poses = np.stack([lf.T_wc for lf in self.frames]).astype(np.float32)
+        data = pose_graph.build_data(poses, edges, fixed_node=len(self.frames) - 1)
+        T_opt = np.asarray(pose_graph.optimize(data, self.cfg.loop.pgo_iterations))
+        for i, lf in enumerate(self.frames):
+            lf.T_wc = T_opt[i].astype(np.float64)
+
+    # ------------------------------------------------------------------
+    # trajectory export (savePose, LoopHandler.cpp:60-80)
+    # ------------------------------------------------------------------
+
+    def odometry_rows(self):
+        return [
+            (lf.incoming_id, *lf.t_wc_orig) for lf in self.frames
+        ]
+
+    def optimized_rows(self):
+        return [
+            (lf.incoming_id, *lf.T_wc[:3, 3]) for lf in self.frames
+        ]

@@ -1,0 +1,96 @@
+"""Imitated-LiDAR scan generation.
+
+Equivalent of the reference's ``generate_spherical_points``
+(loop_detection/generate_spherical_points.h:27-85): maintain a rolling
+world point cloud contributed by marginalized keyframes, trim points of
+keyframes whose orientation differs too much from the current one, range-
+gate, voxel-downsample keeping the highest point per voxel, and emit the
+local "scan".
+
+Host-side numpy: the rolling cloud is small (tens of thousands of points),
+mutates per keyframe, and sits on the loop thread off the tracking critical
+path (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..geometry import lie
+import jax.numpy as jnp
+
+
+class NearbyPointCloud:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.pts: np.ndarray = np.zeros((0, 3), np.float64)   # world points
+        self.ids: np.ndarray = np.zeros((0,), np.int64)       # owning kf id
+        self.id_pose_wc: Dict[int, np.ndarray] = {}           # kf id -> T_wc
+
+    def add_keyframe_points(self, kf_id: int, T_wc: np.ndarray, pts_world: np.ndarray):
+        if len(pts_world):
+            self.pts = np.concatenate([self.pts, pts_world], axis=0)
+            self.ids = np.concatenate([self.ids, np.full(len(pts_world), kf_id)])
+        self.id_pose_wc[kf_id] = np.asarray(T_wc, np.float64)
+
+    def generate_scan(self, T_cw: np.ndarray) -> np.ndarray:
+        """Returns the local scan [M, 3] (camera frame) and prunes the
+        rolling cloud to the surviving points (reference behavior)."""
+        lp = self.cfg.loop
+        rng = lp.lidar_range
+
+        # orientation trim (generate_spherical_points.h:34-40)
+        keep_ids = set()
+        for kf_id, T_wc in list(self.id_pose_wc.items()):
+            delta = T_cw @ T_wc
+            w = np.asarray(lie.so3_log(jnp.asarray(delta[:3, :3], jnp.float32)))
+            if np.linalg.norm(w) > self.cfg.loop.orientation_trim_rad:
+                del self.id_pose_wc[kf_id]
+            else:
+                keep_ids.add(kf_id)
+
+        if len(self.pts) == 0:
+            return np.zeros((0, 3))
+
+        id_ok = np.isin(self.ids, list(keep_ids))
+        p_local = (self.pts @ T_cw[:3, :3].T) + T_cw[:3, 3]
+        in_range = np.linalg.norm(p_local, axis=1) < rng
+        ok = id_ok & in_range
+
+        # voxel filter keeping the highest (most negative y = up) point
+        rx, ry, rz = lp.voxel_res
+        steps = np.array([1.0 / rx, 1.0 / ry, 1.0 / rz])
+        vx = np.floor((p_local[:, 0] + rng) * steps[0]).astype(np.int64)
+        vy = np.floor((p_local[:, 1] + rng) * steps[1]).astype(np.int64)
+        vz = np.floor((p_local[:, 2] + rng) * steps[2]).astype(np.int64)
+        nx = int(np.floor(2 * rng * steps[0]) + 1)
+        ny = int(np.floor(2 * rng * steps[1]) + 1)
+        key = vx + vy * nx + vz * nx * ny
+        key = np.where(ok, key, -1)
+
+        sel_idx = []
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        # group by voxel; pick the point with max height (min y, camera-down)
+        heights = -p_local[order, 1]
+        start = 0
+        n = len(ks)
+        while start < n and ks[start] < 0:
+            start += 1
+        i = start
+        while i < n:
+            j = i
+            best = i
+            while j < n and ks[j] == ks[i]:
+                if heights[j] > heights[best]:
+                    best = j
+                j += 1
+            sel_idx.append(order[best])
+            i = j
+        sel_idx = np.asarray(sel_idx, np.int64)
+
+        # prune the rolling cloud to the surviving points
+        self.pts = self.pts[sel_idx]
+        self.ids = self.ids[sel_idx]
+        return p_local[sel_idx]

@@ -1,0 +1,91 @@
+"""Scan Context place-recognition descriptor.
+
+Equivalent of the reference's ``ScanContext::generate`` + ``align_points_PCA``
+(loop_detection/ScanContext.cpp:19-142): PCA-align the scan (rotation/
+translation invariance + the PCA pose used as the loop pose prior), build
+the 60-sector x 20-ring polar max-height signature, the per-ring occupancy
+ringkey, and L2-normalize the signature per sector."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+
+class ScanContextResult(NamedTuple):
+    ringkey: np.ndarray        # [num_rings] occupancy / num_sectors
+    signature: np.ndarray      # [num_sectors * num_rings] dense, 0 = empty
+    sig_mask: np.ndarray       # bool, occupied bins
+    tfm_pca_rig: np.ndarray    # [4, 4] rig -> PCA frame
+
+
+def align_points_pca(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (aligned points [N, 3], tfm_pca_rig [4, 4]).
+
+    After PCA (ascending eigenvalues, matching Eigen SelfAdjointEigenSolver):
+    axis 0 = smallest variance ("up"), axes 1/2 span the ground plane
+    (ScanContext.cpp:19-66: x: up, y: left, z: back)."""
+    mean = pts.mean(axis=0)
+    centered = pts - mean
+    cov = centered.T @ centered
+    _, vecs = np.linalg.eigh(cov)      # ascending, like Eigen
+    # canonical sign disambiguation (improvement over the reference, whose
+    # eigenvector signs are input-order dependent and make ~50% of genuine
+    # revisits un-matchable): orient each axis so the projection skewness is
+    # positive; resolve near-zero skewness by the max-|projection| sign.
+    for k in range(3):
+        proj = centered @ vecs[:, k]
+        s = np.sum(proj**3)
+        if abs(s) < 1e-9 * (np.abs(proj).max() ** 3 + 1e-12):
+            s = proj[np.argmax(np.abs(proj))]
+        if s < 0:
+            vecs[:, k] = -vecs[:, k]
+    aligned = centered @ vecs          # project on v0, v1, v2
+    tfm = np.eye(4)
+    tfm[:3, :3] = vecs.T
+    tfm[:3, 3] = -vecs.T @ mean
+    return aligned, tfm
+
+
+def generate(pts_spherical: np.ndarray, lidar_range: float,
+             num_sectors: int = 60, num_rings: int = 20) -> ScanContextResult:
+    aligned, tfm = align_points_pca(pts_spherical)
+
+    yp = aligned[:, 1]
+    zp = aligned[:, 2]
+    rho = np.sqrt(yp * yp + zp * zp)
+    theta = np.arctan2(zp, yp)
+    theta = np.mod(theta, 2.0 * np.pi)
+
+    si = np.minimum((theta / (2.0 * np.pi) * num_sectors).astype(np.int64),
+                    num_sectors - 1)
+    ri = (rho / lidar_range * num_rings).astype(np.int64)
+    ok = ri < num_rings        # PCA translation can push points out
+
+    max_height = np.full(num_sectors * num_rings, -lidar_range - 1.0)
+    flat = si * num_rings + ri
+    np.maximum.at(max_height, flat[ok], aligned[ok, 0])
+
+    occupied = max_height >= -lidar_range
+    ringkey = np.zeros(num_rings)
+    idx = np.arange(num_sectors * num_rings)
+    np.add.at(ringkey, idx[occupied] % num_rings, 1.0)
+    ringkey /= num_sectors
+
+    sig = np.where(occupied, max_height, 0.0)
+    # per-sector L2 normalization (ScanContext.cpp:122-141)
+    norms = np.sqrt(
+        (sig.reshape(num_sectors, num_rings) ** 2).sum(axis=1, keepdims=True))
+    norms = np.where(norms > 0, norms, 1.0)
+    sig = (sig.reshape(num_sectors, num_rings) / norms).reshape(-1)
+
+    return ScanContextResult(ringkey, sig, occupied, tfm)
+
+
+def signature_difference(sig_a: np.ndarray, sig_b: np.ndarray,
+                         num_sectors: int = 60) -> float:
+    """(1 - <a, b> / num_sectors) / 2 (search_place.h:66-79); the sparse
+    intersection product equals the dense dot because empty bins are 0."""
+    prod = float(np.dot(sig_a, sig_b))
+    return (1.0 - prod / num_sectors) / 2.0

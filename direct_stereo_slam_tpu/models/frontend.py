@@ -105,6 +105,8 @@ class FrontEnd:
         self.budgets = default_budgets(W, H, self.levels)
 
         self.immatures: Dict[int, immature.ImmaturePoints] = {}
+        self.pyramids: Dict[int, Pyramid] = {}   # per-slot full pyramids
+        # (kept for loop-closure export: per-level colors + direct alignment)
         self.slot_stats: Dict[int, Dict[str, int]] = {}
         self.template: Optional[TrackerTemplate] = None
         self.template_kf_slot = -1
@@ -228,6 +230,7 @@ class FrontEnd:
             prior=jnp.full((k,), self.cfg.ba.idepth_fix_prior, jnp.float32),
         )
         self.slot_stats[slot] = {"out": 0, "marg": 0}
+        self.pyramids[slot] = pyr0
         shell.is_kf = True
         shell.tracking_ref_kf = self.num_kfs
         self.kf_shells.append(shell)
@@ -378,6 +381,7 @@ class FrontEnd:
                 self.ba_state.energy_th[prev_newest])
         )
         self.slot_stats[slot] = {"out": 0, "marg": 0}
+        self.pyramids[slot] = pyr0
         self.scale_errors[slot] = -1.0
         kf_id = self.num_kfs
         self.num_kfs += 1
@@ -752,7 +756,19 @@ class FrontEnd:
         pts_cam = np.stack(
             [(pu - cx0) / fx0 / pid, (pv - cy0) / fy0 / pid, 1.0 / pid], -1
         )
-        colors = np.asarray(st.p_color)[sel][:, 4:5]  # center intensity
+        # per-level intensities at the point (LoopHandler.cpp:175-180)
+        pyr = self.pyramids.get(slot)
+        if pyr is not None and len(pu) > 0:
+            from ..ops.interp import bilinear_gather
+            cols = []
+            for lvl in range(self.levels):
+                ul = (pu + 0.5) / (1 << lvl) - 0.5
+                vl = (pv + 0.5) / (1 << lvl) - 0.5
+                cols.append(np.asarray(bilinear_gather(
+                    pyr.data[lvl], jnp.asarray(ul), jnp.asarray(vl))[:, 0]))
+            colors = np.stack(cols, -1)                      # [K, L]
+        else:
+            colors = np.asarray(st.p_color)[sel][:, 4:5]
 
         fid = int(np.asarray(st.frame_id)[slot])
         k = fid - self.prev_kf_count
@@ -766,10 +782,11 @@ class FrontEnd:
             scale_error=self.scale_errors.get(slot, -1.0),
             pts_cam=pts_cam,
             pts_colors=colors,
-            pyr=None,
+            pyr=tuple(self.pyramids[slot].data) if slot in self.pyramids else None,
         ))
 
         self.ba_state = ba.marginalize_frame(self.ba_state, jnp.int32(slot))
         self.immatures.pop(slot, None)
+        self.pyramids.pop(slot, None)
         self.slot_stats.pop(slot, None)
         self.scale_errors.pop(slot, None)
