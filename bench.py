@@ -1,0 +1,115 @@
+"""Benchmark: stereo tracking + scale-optimization throughput per chip.
+
+Runs the per-frame hot path (coarse-to-fine LM tracking with the 5-candidate
+motion-model batch, plus the 1-DoF stereo scale optimization amortized at
+the keyframe cadence) at KITTI resolution (1232x368, preset-0 budgets) on
+synthetic frames resident on device, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/baseline}
+
+baseline = 100 FPS, the north-star target from BASELINE.md (>=10x real-time
+per chip; the C++ reference runs roughly realtime, ~10 FPS, on its CPU).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    # persistent compilation cache: first bench run pays ~1-2 min of TPU
+    # compiles; subsequent runs start hot
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dsslam_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from direct_stereo_slam_tpu.config import make_config
+    from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
+    from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
+    from direct_stereo_slam_tpu.models.depth_template import (
+        build_template, default_budgets)
+    from direct_stereo_slam_tpu.models.scale_opt import optimize_scale_batch
+    from direct_stereo_slam_tpu.models.tracker import (
+        AffLight, track_candidates_batch)
+    from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
+
+    W, H, LVLS = 1232, 368, 5
+    KF_EVERY = 3           # scale-opt cadence (KF cadence on KITTI ~1/3 frames)
+    N_FRAMES = 30
+    N_POINTS = 2000        # preset-0 active point budget
+
+    ds = SyntheticStereoDataset(n_frames=3, width=W, height=H, speed=0.4)
+    cfg = make_config(W, H, preset=0, mode=1)
+    K = ds.K
+    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H, LVLS)
+
+    f0 = ds.frame(0)
+    f1 = ds.frame(1)
+    rng = np.random.RandomState(0)
+    us = rng.uniform(3, W - 4, N_POINTS).astype(np.float32)
+    vs = rng.uniform(3, H - 4, N_POINTS).astype(np.float32)
+    depth = np.asarray(f0["depth0"])[vs.astype(int), us.astype(int)]
+    tmpl = build_template(
+        jnp.asarray(us), jnp.asarray(vs), jnp.asarray(1.0 / depth),
+        jnp.ones(N_POINTS, jnp.float32), f0["img0"], LVLS,
+        default_budgets(W, H, LVLS),
+    )
+    img_new = f1["img0"]
+    img_right = f1["img1"]
+    t10 = jnp.asarray(ds.t_cam1_cam0)
+
+    zero = AffLight(jnp.float32(0.0), jnp.float32(0.0))
+    one = jnp.float32(1.0)
+    # steady-state per-frame path: the constant-motion candidate alone (the
+    # frontend's staged try-list only widens the batch on tracking trouble,
+    # mirroring the reference's early exit at FrontEnd.cpp:244-246)
+    T_inits = jnp.stack([jnp.eye(4)] * 1)
+    guesses = jnp.asarray([1.0], jnp.float32)
+
+    import functools
+
+    # jit the WHOLE per-frame program (pyramid build + tracker) — calling
+    # build_pyramid untraced costs hundreds of separate dispatches per frame
+    @functools.partial(jax.jit, static_argnums=())
+    def frame_step(img, T_inits_):
+        pyr = build_pyramid(img, LVLS)
+        return track_candidates_batch(
+            tuple(pyr.data), tmpl, intr, cfg, T_inits_, zero, zero, one, one)
+
+    @jax.jit
+    def scale_step(img1):
+        pyr1 = build_pyramid(img1, LVLS)
+        return optimize_scale_batch(
+            tuple(pyr1.data), tmpl, guesses, intr, intr, t10, cfg)
+
+    # warmup / compile
+    frame_step(img_new, T_inits).T.block_until_ready()
+    scale_step(img_right).scale.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(N_FRAMES):
+        out = frame_step(img_new, T_inits)
+        if i % KF_EVERY == 0:
+            so = scale_step(img_right)
+    out.T.block_until_ready()
+    so.scale.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = N_FRAMES / dt
+    baseline = 100.0
+    print(json.dumps({
+        "metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

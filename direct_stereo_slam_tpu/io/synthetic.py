@@ -184,12 +184,21 @@ def forward_trajectory(n_frames: int, speed: float = 0.3, yaw_rate: float = 0.0)
     return np.stack(poses)
 
 
-def loop_trajectory(n_frames: int, radius: float = 12.0, laps: float = 1.0):
+def loop_trajectory(n_frames: int, radius: float = 12.0, laps: float = 1.0,
+                    ease_in: int = 0):
     """Circular trajectory in the x-z plane; ``laps`` > 1 revisits earlier
-    positions (same heading) for loop-closure tests."""
+    positions (same heading) for loop-closure tests. ``ease_in`` ramps the
+    angular rate over the first frames (vehicles start from rest; a cold
+    tracker has no motion model for frame 1)."""
+    if ease_in > 0:
+        w = np.minimum(1.0, (np.arange(n_frames) + 1) / ease_in)
+        cum = np.concatenate([[0.0], np.cumsum(w)[:-1]])
+        angles = laps * 2.0 * np.pi * cum / cum[-1] if cum[-1] > 0 else cum
+    else:
+        angles = laps * 2.0 * np.pi * np.arange(n_frames) / n_frames
     poses = []
     for i in range(n_frames):
-        ang = laps * 2.0 * np.pi * i / n_frames
+        ang = angles[i]
         # camera position on circle, looking along the tangent
         cx_ = radius * np.sin(ang)
         cz_ = radius * (1.0 - np.cos(ang))

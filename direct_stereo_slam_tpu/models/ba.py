@@ -168,6 +168,7 @@ class Linearization(NamedTuple):
     energy: jnp.ndarray  # scalar photometric energy (active residuals)
     pair_energy: jnp.ndarray  # [NP, W] per-residual energy (for thresholds)
     pair_good: jnp.ndarray    # [NP, W] residual passed cutoff/oob checks
+    pair_in: jnp.ndarray      # [NP, W] valid + fully in-bounds (pre-threshold)
     num_terms: jnp.ndarray    # scalar
 
 
@@ -411,6 +412,7 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     return Linearization(
         Hff=Hff, bf=bf, Hfd=Hfd, Hdd=Hdd, bd=bd,
         energy=energy, pair_energy=pair_energy, pair_good=is_good,
+        pair_in=pair_mask & all_pix_in,
         num_terms=num_terms,
     )
 
@@ -604,7 +606,12 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations: int):
             return (st2, lam * 0.25, e_old), None
         lin_new = linearize(st_new, cfg)
         e_new = total_energy(st_new, lin_new)
-        accept = e_new < e_old
+        # guard against the outlier-plateau escape: saturated residuals
+        # contribute a CAPPED energy, so a wild step that flips most
+        # residuals to outliers can "reduce" energy; require the inlier
+        # count to survive as well
+        accept = (e_new < e_old) & (
+            lin_new.num_terms >= 0.3 * lin.num_terms)
         st2 = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
                 jnp.reshape(accept, (1,) * a.ndim) if a.ndim else accept, a, b
@@ -639,7 +646,11 @@ def set_new_frame_energy_th(state: BAState, newest_slot: jnp.ndarray, cfg: SLAMC
     (FrontEndOptimize.cpp:79-120)."""
     lin = linearize(state, cfg)
     is_target = jnp.arange(state.num_slots)[None, :] == newest_slot
-    sel = lin.pair_good & is_target
+    # DSO quantiles over ALL residual energies toward the newest frame
+    # (state_NewEnergyWithOutlier), NOT the already-thresholded survivors —
+    # using survivors creates a threshold death spiral (each round's
+    # quantile is biased low by the previous round's cut).
+    sel = lin.pair_in & is_target
     e = jnp.where(sel, lin.pair_energy, jnp.nan)
     nth = jnp.nanquantile(e, cfg.ba.frame_energy_th_n)
     nth = jnp.where(jnp.isfinite(nth), jnp.sqrt(nth), 12.0 * jnp.sqrt(8.0))

@@ -260,25 +260,39 @@ class FrontEnd:
                 np.eye(4), lastF_2_slast, slast_2_sprelast, self.cfg
             )
         else:
+            # first tracked frame after initialization: no motion history.
+            # The reference's 2-frame case degenerates to an empty try list
+            # (FrontEnd.cpp:133-135, a known quirk); here identity + the 78
+            # rotation perturbations give the fallback coverage.
             stage1 = np.stack([np.eye(4, dtype=np.float32)])
-            stage2 = stage1
+            _, stage2 = make_motion_tries(np.eye(4), np.eye(4), np.eye(4), self.cfg)
             aff_init = AffLight(jnp.float32(0.0), jnp.float32(0.0))
 
         with self.timers.span("track"):
-            res = track_candidates_batch(
-                tuple(pyr0.data), self.template, self.intr0, self.cfg,
-                jnp.asarray(stage1), aff_init, self.template_ref_aff,
-                self.template_ref_exposure, jnp.float32(1.0),
-            )
-            idx, good = select_winner(res, self.last_coarse_rmse, self.cfg)
-            if not good or float(res.res_per_level[idx, 0]) > \
-                    self.cfg.tracker.re_track_threshold * self.last_coarse_rmse:
-                res2 = track_candidates_batch(
+            # staged candidate evaluation (the reference's serial try-list
+            # early exit, FrontEnd.cpp:200-247, as growing batches): the
+            # constant-motion hypothesis alone wins on almost every frame;
+            # the 5 motion-model variants and the 78 rotation perturbations
+            # only run on tracking trouble.
+            thr = self.cfg.tracker.re_track_threshold * self.last_coarse_rmse
+
+            def run(batch):
+                r = track_candidates_batch(
                     tuple(pyr0.data), self.template, self.intr0, self.cfg,
-                    jnp.asarray(stage2), aff_init, self.template_ref_aff,
+                    jnp.asarray(batch), aff_init, self.template_ref_aff,
                     self.template_ref_exposure, jnp.float32(1.0),
                 )
-                idx2, good2 = select_winner(res2, self.last_coarse_rmse, self.cfg)
+                i, g = select_winner(r, self.last_coarse_rmse, self.cfg)
+                return r, i, g
+
+            res, idx, good = run(stage1[:1])
+            if not good or float(res.res_per_level[idx, 0]) > thr:
+                res5, idx5, good5 = run(stage1)
+                if good5 and (not good or float(res5.res_per_level[idx5, 0])
+                              < float(res.res_per_level[idx, 0])):
+                    res, idx, good = res5, idx5, good5
+            if not good or float(res.res_per_level[idx, 0]) > thr:
+                res2, idx2, good2 = run(stage2)
                 if good2 and (not good or float(res2.res_per_level[idx2, 0])
                               < float(res.res_per_level[idx, 0])):
                     res, idx, good = res2, idx2, good2
@@ -289,9 +303,16 @@ class FrontEnd:
 
         r0 = float(res.res_per_level[idx, 0])
         flow = np.asarray(res.flow[idx])
-        if (not good) or (not math.isfinite(r0)) or not np.all(np.isfinite(flow)):
+        if not math.isfinite(r0) or not np.all(np.isfinite(flow)):
+            # non-finite tracking residual -> lost (FrontEnd.cpp:635-640)
             self.is_lost = True
             return shell
+        if not good:
+            # "BIG ERROR": take the predicted pose and hope to recover
+            # (FrontEnd.cpp:249-255) — candidate 0 is the motion model
+            idx = 0
+            flow = np.zeros(3, np.float32)
+            r0 = float(res.res_per_level[0, 0])
 
         T_ref_new = np.asarray(res.T[idx])            # warp ref->new
         shell.T_wc = (T_w_ref @ np.linalg.inv(T_ref_new)).astype(np.float32)
@@ -654,6 +675,10 @@ class FrontEnd:
             jnp.asarray(w), pyr_ref.data[0][..., 0], self.levels, self.budgets,
             valid=jnp.asarray(valid),
         )
+        # template starvation = effectively lost (the reference reaches this
+        # as NaN tracking residuals on the next frame)
+        if int(np.asarray(jnp.sum(self.template.pmask[0]))) < 8:
+            self.is_lost = True
         self.template_kf_slot = ref_slot
         aff = np.asarray(st.aff_current())[ref_slot]
         self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))

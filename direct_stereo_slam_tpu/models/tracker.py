@@ -265,7 +265,9 @@ def track_candidate(
         aff = AffLight(aff_a, aff_b)
         have_repeated = have_repeated | (repeat > 1.0)
 
-        res_levels[lvl] = jnp.sqrt(E / jnp.maximum(n, 1.0))
+        # vacuous tracking (no surviving terms) must read as failure — DSO's
+        # 0/0 residual NaN is what triggers its lost detection
+        res_levels[lvl] = jnp.where(n > 0, jnp.sqrt(E / jnp.maximum(n, 1.0)), jnp.inf)
         if lvl == 0:
             flow_t, flow_rt = f_t, f_rt
 

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""CLI driver — the reference's `slam_node` (src/main.cpp) as a command.
+
+Examples:
+    # synthetic smoke run (no dataset needed)
+    python scripts/run_slam.py --synthetic --frames 40 --out /tmp/slam_out
+
+    # KITTI odometry sequence
+    python scripts/run_slam.py --kitti /data/kitti_odometry --seq 00 \
+        --calib0 cams/kitti/0_2/camera0.txt --out /tmp/kitti00
+
+Writes sodso.txt (odometry) and dslam.txt (loop-closed) in the reference's
+`incoming_id x y z` format (LoopHandler.cpp:60-80), a trajectory plot, and
+prints the per-stage timing table (main.cpp:181-201)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--trajectory", default="forward", choices=["forward", "loop"])
+    ap.add_argument("--kitti", help="KITTI odometry root")
+    ap.add_argument("--seq", default="00")
+    ap.add_argument("--dir0")
+    ap.add_argument("--dir1")
+    ap.add_argument("--calib0", help="DSO camera.txt for cam0")
+    ap.add_argument("--calib1", help="DSO camera.txt for cam1")
+    ap.add_argument("--t-stereo", help="T_stereo.yaml")
+    ap.add_argument("--preset", type=int, default=0)
+    ap.add_argument("--mode", type=int, default=1)
+    ap.add_argument("--scale-opt-thres", type=float, default=15.0)
+    ap.add_argument("--lidar-range", type=float, default=40.0)
+    ap.add_argument("--scan-context-thres", type=float, default=0.33)
+    ap.add_argument("--levels", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--out", default="./slam_out")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from direct_stereo_slam_tpu.config import make_config
+    from direct_stereo_slam_tpu.geometry.camera import (
+        make_pyramid_intrinsics, num_usable_levels)
+    from direct_stereo_slam_tpu.loop.handler import LoopHandler
+    from direct_stereo_slam_tpu.runtime.node import SLAMNode, write_trajectory
+    from direct_stereo_slam_tpu.viz.export import plot_trajectories
+
+    os.makedirs(args.out, exist_ok=True)
+
+    gt = None
+    undist0 = undist1 = None
+    if args.synthetic:
+        from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
+        ds = SyntheticStereoDataset(
+            n_frames=args.frames, width=320, height=96,
+            trajectory=args.trajectory)
+        K = ds.K
+        w, h = 320, 96
+        t10 = ds.t_cam1_cam0
+        gt = ds.poses[:, :3, 3]
+    elif args.kitti:
+        from direct_stereo_slam_tpu.io.dataset import KittiOdometryDataset
+        ds = KittiOdometryDataset(args.kitti, args.seq)
+        c = ds.calib
+        f0 = ds.frame(0)
+        h, w = f0["img0"].shape
+        K = np.array([[c["fx"], 0, c["cx"]], [0, c["fy"], c["cy"]], [0, 0, 1]])
+        t10 = ds.t_cam1_cam0()
+    else:
+        from direct_stereo_slam_tpu.io.dataset import StereoDirDataset
+        from direct_stereo_slam_tpu.io.undistort import Undistorter
+        from direct_stereo_slam_tpu.utils.calib import (
+            build_rectified_camera, parse_t_stereo)
+        ds = StereoDirDataset(args.dir0, args.dir1)
+        cam0 = build_rectified_camera(args.calib0)
+        cam1 = build_rectified_camera(args.calib1 or args.calib0)
+        undist0, undist1 = Undistorter(cam0), Undistorter(cam1)
+        K = cam0.K
+        w, h = cam0.w, cam0.h
+        t10 = parse_t_stereo(args.t_stereo) if args.t_stereo else np.eye(4)
+
+    levels = min(args.levels, num_usable_levels(w, h))
+    cfg = make_config(w, h, preset=args.preset, mode=args.mode,
+                      scale_opt_thres=args.scale_opt_thres,
+                      lidar_range=args.lidar_range,
+                      scan_context_thres=args.scan_context_thres)
+    cfg = cfg.replace(tracker=cfg.tracker.__class__(pyr_levels=levels))
+    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], w, h, levels)
+
+    handler = LoopHandler(cfg, intr)
+    node = SLAMNode(cfg, intr, intr, t10, loop_handler=handler,
+                    undistorter0=undist0, undistorter1=undist1)
+
+    import jax.numpy as jnp
+    n = len(ds)
+    for i, f in enumerate(ds):
+        node.process(jnp.asarray(f["img0"]), jnp.asarray(f["img1"]), f["timestamp"])
+        if i % 10 == 0:
+            print(f"[{i}/{n}] kfs={node.frontend.num_kfs} "
+                  f"loops={handler.direct_loop_count}+{handler.icp_loop_count}",
+                  flush=True)
+    node.finish()
+
+    write_trajectory(os.path.join(args.out, "sodso.txt"), handler.odometry_rows())
+    write_trajectory(os.path.join(args.out, "dslam.txt"), handler.optimized_rows())
+    so = np.array([r[1:] for r in handler.odometry_rows()])
+    dl = np.array([r[1:] for r in handler.optimized_rows()])
+    if len(so):
+        plot_trajectories(os.path.join(args.out, "trajectory.png"),
+                          [("sodso", so), ("dslam", dl)], gt=gt)
+
+    print("\n************** Statistics (ms) ***************")
+    print(node.timing_report())
+    print(f"loop_count: {handler.direct_loop_count} (direct) + "
+          f"{handler.icp_loop_count} (icp)")
+    print(f"outputs in {args.out}")
+
+
+if __name__ == "__main__":
+    main()
