@@ -226,10 +226,15 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     ) / id_zero[:, None, None]
 
     # gather per-point relative transforms to each target ----------------
-    # explicit take to avoid NumPy's position-dependent advanced-indexing
-    # placement rules: Tth_ph[p, t] = Tth[t, h_idx[p]]
-    Tth_cur_ph = jnp.take(Tth_cur, h_idx, axis=1).transpose(1, 0, 2, 3)
-    Tth_zero_ph = jnp.take(Tth_zero, h_idx, axis=1).transpose(1, 0, 2, 3)
+    # via one-hot matmul (Tth_ph[p, t] = Tth[t, h_idx[p]]): a gather of
+    # [NP, W, 4, 4] hits XLA's slow batched-gather path (~8 ns/element,
+    # ~16 ms here); the equivalent [NP, Wh] x [Wh, W*16] einsum runs on the
+    # MXU in microseconds.
+    host_oh = jax.nn.one_hot(h_idx, W, dtype=jnp.float32)       # [NP, Wh]
+    Tth_cur_ph = jnp.einsum(
+        "ph,thij->ptij", host_oh, Tth_cur, precision=_HI)       # [NP, W, 4, 4]
+    Tth_zero_ph = jnp.einsum(
+        "ph,thij->ptij", host_oh, Tth_zero, precision=_HI)
     Rth_cur = Tth_cur_ph[..., :3, :3]            # [NP, W, 3, 3]
     tth_cur = Tth_cur_ph[..., :3, 3]             # [NP, W, 3]
     Rth_zero = Tth_zero_ph[..., :3, :3]
@@ -249,11 +254,15 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
         (Ku > 1.1) & (Kv > 1.1) & (Ku < Wimg - 2.1) & (Kv < Himg - 2.1) & (z_cur > 1e-4)
     )
 
-    # gather target intensities/gradients: vmap bilinear over frame slots
+    # gather target intensities/gradients: vmap bilinear over frame slots.
+    # NB round-1 perf note: several alternative formulations (planes-first
+    # storage + scalar-row gathers, frame-folded flat indices) measured
+    # 5-10x FASTER in isolated microbenchmarks but consistently ~2x slower
+    # inside this program (XLA picks a ~8 ns/element gather path in
+    # context); see PARITY.md round-2 list.
     def gather_frame(img, u, v):
         return bilinear_gather(img, u, v)         # [NP, 8, 3]
 
-    # Ku shaped [NP, W, 8]; transpose to [W, NP, 8] for per-frame gather
     hit = jax.vmap(gather_frame)(state.images, Ku.transpose(1, 0, 2), Kv.transpose(1, 0, 2))
     hit = hit.transpose(1, 0, 2, 3)               # [NP, W, 8, 3]
     hit_i, gx, gy = hit[..., 0], hit[..., 1], hit[..., 2]
@@ -374,7 +383,7 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     # ---- assemble dense rows [R, D] ------------------------------------
     w_pix = jnp.where(is_good[..., None] & pix_ok, hw * wp * wp, 0.0)  # [NP,W,8]
 
-    host_onehot = jax.nn.one_hot(h_idx, W, dtype=jnp.float32)          # [NP, W]
+    host_onehot = host_oh                                              # [NP, W]
     targ_onehot = jnp.eye(W, dtype=jnp.float32)                        # [W, W]
 
     # frame-block rows: per (p,t,k): host block Jh + target block Jt + aff

@@ -188,7 +188,7 @@ def trace_points(
     rdv = KRKi[1, 0] * du + KRKi[1, 1] * dv
     spx = px[..., None] + rdu[None, None, :]                           # [NI, S, 8]
     spy = py[..., None] + rdv[None, None, :]
-    hit = bilinear_gather(target_planes, spx, spy)[..., 0]             # [NI, S, 8]
+    hit = bilinear_gather(target_planes, spx, spy)[..., 0]      # [NI, S, 8]
     res = hit - (aff_a * pts.color[:, None, :] + aff_b)
     energy = jnp.sum(res * res, axis=-1)                               # [NI, S]
     energy = jnp.where(s_ok, energy, jnp.inf)

@@ -246,3 +246,30 @@ def parse_gamma(path: str) -> np.ndarray:
     vals = vals - vals.min()
     vals = vals / vals.max() * 255.0
     return vals.astype(np.float32)
+
+
+def parse_vignette(path: str, out_w: int = None, out_h: int = None) -> np.ndarray:
+    """Load a DSO vignette image (16-bit or 8-bit PNG/PGM of relative optical
+    attenuation; Undistort::loadPhotometricCalibration). Returns float [H, W]
+    normalized so max == 1, optionally resized to the working resolution."""
+    img = None
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is not None and img.ndim == 3:
+            img = img.mean(axis=2)
+        if img is not None and (out_w or out_h):
+            img = cv2.resize(img, (out_w, out_h), interpolation=cv2.INTER_AREA)
+    except ImportError:
+        pass
+    if img is None:
+        from PIL import Image
+        im = Image.open(path).convert("F")
+        if out_w and out_h:
+            im = im.resize((out_w, out_h))
+        img = np.asarray(im)
+    img = img.astype(np.float64)
+    m = img.max()
+    if m <= 0:
+        raise ValueError(f"{path}: vignette image is empty")
+    return (img / m).astype(np.float32)

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--calib0", help="DSO camera.txt for cam0")
     ap.add_argument("--calib1", help="DSO camera.txt for cam1")
     ap.add_argument("--t-stereo", help="T_stereo.yaml")
+    ap.add_argument("--gamma0", help="DSO pcalib.txt for cam0")
+    ap.add_argument("--gamma1")
+    ap.add_argument("--vignette0", help="vignette image for cam0")
+    ap.add_argument("--vignette1")
     ap.add_argument("--preset", type=int, default=0)
     ap.add_argument("--mode", type=int, default=1)
     ap.add_argument("--scale-opt-thres", type=float, default=15.0)
@@ -80,11 +84,19 @@ def main():
         from direct_stereo_slam_tpu.io.dataset import StereoDirDataset
         from direct_stereo_slam_tpu.io.undistort import Undistorter
         from direct_stereo_slam_tpu.utils.calib import (
-            build_rectified_camera, parse_t_stereo)
+            build_rectified_camera, parse_gamma, parse_t_stereo, parse_vignette)
         ds = StereoDirDataset(args.dir0, args.dir1)
         cam0 = build_rectified_camera(args.calib0)
         cam1 = build_rectified_camera(args.calib1 or args.calib0)
-        undist0, undist1 = Undistorter(cam0), Undistorter(cam1)
+        g0 = parse_gamma(args.gamma0) if args.gamma0 else None
+        g1 = parse_gamma(args.gamma1) if args.gamma1 else (g0 if args.gamma0 else None)
+        # vignette applies in the RAW image frame (pre-remap)
+        f0 = ds.frame(0)
+        in_h, in_w = f0["img0"].shape
+        v0 = parse_vignette(args.vignette0, in_w, in_h) if args.vignette0 else None
+        v1 = parse_vignette(args.vignette1, in_w, in_h) if args.vignette1 else v0
+        undist0 = Undistorter(cam0, binv=g0, vignette=v0)
+        undist1 = Undistorter(cam1, binv=g1, vignette=v1)
         K = cam0.K
         w, h = cam0.w, cam0.h
         t10 = parse_t_stereo(args.t_stereo) if args.t_stereo else np.eye(4)

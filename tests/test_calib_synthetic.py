@@ -100,3 +100,41 @@ def test_synthetic_stereo_dataset():
     assert float(f["depth0"].min()) > 0.1
     # stereo pair differs (baseline shift) but statistics are similar
     assert float(jnp.mean(jnp.abs(f["img0"] - f["img1"]))) > 0.1
+
+
+def test_parse_vignette(tmp_path):
+    import numpy as np
+    from direct_stereo_slam_tpu.utils.calib import parse_vignette
+    try:
+        import cv2
+    except ImportError:
+        import pytest
+        pytest.skip("no cv2")
+    v = (np.ones((40, 60)) * 60000).astype(np.uint16)
+    v[:, :10] = 30000  # dimmed edge
+    p = str(tmp_path / "vig.png")
+    cv2.imwrite(p, v)
+    out = parse_vignette(p)
+    assert out.shape == (40, 60)
+    assert abs(out.max() - 1.0) < 1e-6
+    assert abs(out[0, 0] - 0.5) < 0.01
+    out2 = parse_vignette(p, out_w=30, out_h=20)
+    assert out2.shape == (20, 30)
+
+
+def test_photometric_undistort_applies_gamma_and_vignette(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    from direct_stereo_slam_tpu.io.undistort import Undistorter
+    from direct_stereo_slam_tpu.utils.calib import RectifiedCamera
+
+    cam = RectifiedCamera(100.0, 100.0, 19.5, 14.5, 40, 30, None, None)
+    binv = np.linspace(0, 255, 256).astype(np.float32) ** 1.2 / (255 ** 0.2)
+    vig = np.ones((30, 40), np.float32)
+    vig[:, :20] = 0.5
+    und = Undistorter(cam, binv=binv, vignette=vig)
+    raw = np.full((30, 40), 100, np.uint8)
+    out = np.asarray(und(raw))
+    # right half: gamma only; left half: gamma / 0.5
+    assert abs(out[15, 30] - binv[100]) < 1e-3
+    assert abs(out[15, 5] - binv[100] * 2.0) < 1e-2

@@ -58,3 +58,15 @@ def test_bilinear_batched():
     out = bilinear_gather_scalar(jnp.asarray(img), us, vs)
     assert out.shape == (3,)
     np.testing.assert_allclose(float(out[2]), img[4, 3], atol=1e-6)
+
+
+def test_bilinear_planes_matches_channel_last():
+    from direct_stereo_slam_tpu.ops.interp import bilinear_gather_planes
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(24, 40, 3).astype(np.float32)
+    us = jnp.asarray(rng.uniform(1, 38, 500), jnp.float32)
+    vs = jnp.asarray(rng.uniform(1, 22, 500), jnp.float32)
+    a = bilinear_gather(jnp.asarray(img), us, vs)
+    b = bilinear_gather_planes(jnp.asarray(np.moveaxis(img, -1, 0)), us, vs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
