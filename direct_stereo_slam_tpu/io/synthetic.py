@@ -86,6 +86,26 @@ def default_scene(
                           jnp.asarray(centers), jnp.asarray(half), jnp.asarray(phase))
 
 
+def _loop_scene() -> SyntheticScene:
+    """Scene sized for the default loop trajectory (ring centered (0, 8),
+    radius 8): wide room + parallax boxes rejection-sampled off the ring
+    (annulus [4, 13] around the ring center stays clear of the camera)."""
+    rng = np.random.RandomState(7)
+    centers = []
+    while len(centers) < 14:
+        c = rng.uniform(-22, 22, 3)
+        c[1] = rng.uniform(-1.5, 0.5)
+        c[2] = rng.uniform(-14, 30)
+        if np.hypot(c[0], c[2] - 8.0) < 4.0 or np.hypot(c[0], c[2] - 8.0) > 13.0:
+            centers.append(c)
+    scene = default_scene(wall_x=25.0, front_z=45.0, back_z=-25.0)
+    return scene._replace(
+        box_centers=jnp.asarray(np.stack(centers), jnp.float32),
+        box_half=jnp.asarray(rng.uniform(0.5, 2.0, (14, 3)), jnp.float32),
+        box_phase=jnp.asarray(rng.uniform(0, 6.28, (14, 2)), jnp.float32),
+    )
+
+
 def _texture(p: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
     """World position [..., 3] + per-plane phase [..., 2] -> intensity.
     Multi-frequency smooth pattern, range ~[10, 245]."""
@@ -233,12 +253,28 @@ class SyntheticStereoDataset:
     ):
         self.K = kitti_like_intrinsics(width, height)
         self.width, self.height = width, height
-        self.scene = scene if scene is not None else default_scene()
+        if scene is not None:
+            self.scene = scene
+        elif trajectory == "loop":
+            # the loop ring is centered (0, 8) radius 8: the forward scene's
+            # walls at x = +-8 would sit ON the trajectory. Use a wide room
+            # with parallax boxes placed off the ring.
+            self.scene = _loop_scene()
+        else:
+            self.scene = default_scene()
         self.fps = fps
         if trajectory == "forward":
             self.poses = forward_trajectory(n_frames, speed, yaw_rate)
         elif trajectory == "loop":
-            self.poses = loop_trajectory(n_frames)
+            # ease_in: vehicles start from rest — a cold tracker has no
+            # motion model for frame 1, so ramp the turn rate up. The lap
+            # count is chosen to keep the sustained turn rate at ~5.5
+            # deg/frame (the coarse tracker's constant-motion-model limit is
+            # ~5.7); with >= ~75 frames the trajectory passes a full lap and
+            # revisits, exercising loop closure.
+            self.poses = loop_trajectory(n_frames, radius=8.0,
+                                         laps=n_frames * 5.5 / 360.0,
+                                         ease_in=8)
         else:
             raise ValueError(trajectory)
         self.t_cam1_cam0 = np.eye(4, dtype=np.float32)

@@ -286,8 +286,12 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
 
     # validity masks ------------------------------------------------------
     t_idx = jnp.arange(W)[None, :]
+    # pool-segmentation invariant: point i must be hosted by slot i // P
+    # (the block-factored Hessian assembly places host columns by segment)
+    seg_idx = (jnp.arange(NP, dtype=jnp.int32) * W) // NP
     pair_mask = (
         state.p_valid[:, None]
+        & (h_idx == seg_idx)[:, None]
         & state.frame_valid[None, :]
         & (t_idx != h_idx[:, None])
         & state.p_res_good
@@ -380,32 +384,43 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     Jb_t = -jnp.ones_like(Ja_t)
     Jb_h = a_th[..., None] * jnp.ones_like(Ja_t)
 
-    # ---- assemble dense rows [R, D] ------------------------------------
+    # ---- assemble H/b: block-factored form --------------------------------
+    # The point pool is segmented by host slot (segment s hosts rows
+    # [s*P, (s+1)*P)), so every (host-segment, target) block shares one
+    # 20->D column placement. Instead of materializing dense rows
+    # [R, D] (~71 MB at production scale) and one big matmul, compute tiny
+    # per-block 20x20 Hessians and project them: H = sum_st B_st^T H20 B_st.
     w_pix = jnp.where(is_good[..., None] & pix_ok, hw * wp * wp, 0.0)  # [NP,W,8]
 
-    host_onehot = host_oh                                              # [NP, W]
-    targ_onehot = jnp.eye(W, dtype=jnp.float32)                        # [W, W]
+    J20 = jnp.concatenate(
+        [Jcalib, Jh, Ja_h[..., None], Jb_h[..., None],
+         Jt, Ja_t[..., None], Jb_t[..., None]], axis=-1)           # [NP, W, 8, 20]
+    S = W  # segments == slots
+    P = NP // S
+    assert S * P == NP, "point pool must be partitioned per host slot"
+    J20s = J20.reshape(S, P, W, 8, 20)
+    wps = w_pix.reshape(S, P, W, 8)
+    rs = residual.reshape(S, P, W, 8)
+    Jds = Jd.reshape(S, P, W, 8)
 
-    # frame-block rows: per (p,t,k): host block Jh + target block Jt + aff
-    Jh_full = jnp.concatenate([Jh, Ja_h[..., None], Jb_h[..., None]], axis=-1)  # [NP,W,8,8]
-    Jt_full = jnp.concatenate([Jt, Ja_t[..., None], Jb_t[..., None]], axis=-1)  # [NP,W,8,8]
+    # placement matrices B[s, t] : [20, D]; cols: calib 0:4, host 4+8s,
+    # target 4+8t (static, built in numpy at trace time)
+    B = np.zeros((S, W, 20, D), np.float32)
+    for s_ in range(S):
+        for t_ in range(W):
+            B[s_, t_, 0:4, 0:4] = np.eye(4)
+            B[s_, t_, 4:12, 4 + 8 * s_: 12 + 8 * s_] = np.eye(8)
+            B[s_, t_, 12:20, 4 + 8 * t_: 12 + 8 * t_] += np.eye(8)
+    B = jnp.asarray(B)
 
-    # expand to [NP, W, 8, W, 8par] then flatten to [NP, W, 8, 8W]
-    rows_frames = (
-        Jh_full[:, :, :, None, :] * host_onehot[:, None, None, :, None]
-        + Jt_full[:, :, :, None, :] * targ_onehot[None, :, None, :, None]
-    ).reshape(NP, W, 8, 8 * W)
-    rows = jnp.concatenate([Jcalib, rows_frames], axis=-1)             # [NP, W, 8, D]
-
-    Rrows = rows.reshape(NP * W * 8, D)
-    wvec = w_pix.reshape(NP * W * 8)
-    rvec = residual.reshape(NP * W * 8)
-
-    Hff = jnp.matmul(Rrows.T * wvec[None, :], Rrows, precision=_HI)    # [D, D]
-    bf = jnp.matmul(Rrows.T, (wvec * rvec)[:, None], precision=_HI)[:, 0]
+    H20 = jnp.einsum("spwki,spwk,spwkj->swij", J20s, wps, J20s, precision=_HI)
+    b20 = jnp.einsum("spwki,spwk,spwk->swi", J20s, wps, rs, precision=_HI)
+    Hff = jnp.einsum("swia,swij,swjb->ab", B, H20, B, precision=_HI)
+    bf = jnp.einsum("swia,swi->a", B, b20, precision=_HI)
 
     # Schur blocks grouped by point
-    Hfd = jnp.einsum("ptkd,ptk,ptk->pd", rows, w_pix, Jd, precision=_HI)  # [NP, D]
+    G20 = jnp.einsum("spwki,spwk,spwk->spwi", J20s, wps, Jds, precision=_HI)
+    Hfd = jnp.einsum("spwi,swia->spa", G20, B, precision=_HI).reshape(NP, D)
     Hdd = jnp.einsum("ptk,ptk,ptk->p", w_pix, Jd, Jd, precision=_HI)
     bd = jnp.einsum("ptk,ptk,ptk->p", w_pix, Jd, residual, precision=_HI)
 

@@ -118,7 +118,13 @@ class FrontEnd:
         self.all_frames: List[FrameShell] = []
         self.kf_shells: List[FrameShell] = []
         self.prev_kf_count = prev_kf_count
-        self.num_kfs = 0
+        # num_kfs is the GLOBAL keyframe id counter (continues across
+        # is_lost reinits via prev_kf_count); kf_shells holds only THIS
+        # instance's shells, so every lookup is kf_shells[fid -
+        # prev_kf_count]. Starting local-at-0 here would desync those
+        # lookups after a reinit (shells resolve to None -> the
+        # marginalized-KF export loses its incoming_id/timestamp).
+        self.num_kfs = prev_kf_count
 
         self.initialized = False
         self.is_lost = False
@@ -618,13 +624,18 @@ class FrontEnd:
                 calib_j, cfg,
             )
             ok = np.asarray(act.ok) & want_mask
-            # insert accepted into free pool entries
-            free_pool = np.nonzero(~np.asarray(self.ba_state.p_valid))[0]
-            k = min(len(free_pool), int(ok.sum()))
+            # insert accepted into free entries of the host's pool SEGMENT
+            # (the pool is partitioned per host slot: segment s = rows
+            # [s*P, (s+1)*P) — keeps host indices block-uniform, which the
+            # Pallas Hessian-assembly kernel exploits)
+            P = self.cfg.ba.max_points_per_frame
+            seg = slice(slot * P, (slot + 1) * P)
+            seg_free = np.nonzero(~np.asarray(self.ba_state.p_valid[seg]))[0] + slot * P
+            k = min(len(seg_free), int(ok.sum()))
             if k > 0:
                 src = np.nonzero(ok)[0][:k]
                 self.ba_state = ba.add_points(
-                    self.ba_state, jnp.asarray(free_pool[:k]), slot,
+                    self.ba_state, jnp.asarray(seg_free[:k]), slot,
                     pts.u[jnp.asarray(src)], pts.v[jnp.asarray(src)],
                     act.idepth[jnp.asarray(src)],
                     pts.color[jnp.asarray(src)], pts.weight[jnp.asarray(src)],

@@ -58,7 +58,7 @@ class SLAMNode:
         # reinitialize preserving pose + KF offset (main.cpp:229-245)
         if self.frontend.init_failed or self.frontend.is_lost:
             last_pose = self.frontend.cur_pose
-            prev_kf = self.frontend.num_kfs + self.frontend.prev_kf_count
+            prev_kf = self.frontend.num_kfs  # already global (offset baked in)
             queue = self.frontend.marginalized_queue
             self.frontend = FrontEnd(
                 self.cfg, self.intr0, self.intr1, self.t_cam1_cam0,

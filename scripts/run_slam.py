@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--scale-opt-thres", type=float, default=15.0)
     ap.add_argument("--lidar-range", type=float, default=40.0)
     ap.add_argument("--scan-context-thres", type=float, default=0.33)
+    ap.add_argument("--loop-margin", type=int, default=100,
+                    help="KFs excluded from retrieval (reference default "
+                    "100; lower it for short demo sequences)")
     ap.add_argument("--levels", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default="./slam_out")
@@ -107,6 +110,10 @@ def main():
                       lidar_range=args.lidar_range,
                       scan_context_thres=args.scan_context_thres)
     cfg = cfg.replace(tracker=cfg.tracker.__class__(pyr_levels=levels))
+    if args.loop_margin != cfg.loop.loop_margin:
+        import dataclasses
+        cfg = cfg.replace(loop=dataclasses.replace(
+            cfg.loop, loop_margin=args.loop_margin))
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], w, h, levels)
 
     handler = LoopHandler(cfg, intr)

@@ -11,11 +11,12 @@ from direct_stereo_slam_tpu.models import ba
 from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
 
 W_IMG, H_IMG = 256, 80
-N_SLOTS, N_POINTS = 4, 512
+# pool segment per slot must fit the single-host window's 400 points
+N_SLOTS, N_POINTS = 4, 1600
 
 
 def build_window(n_frames=3, n_pts=400, speed=0.3, perturb_pose=0.0,
-                 perturb_idepth=0.0, seed=0):
+                 perturb_idepth=0.0, seed=0, hosts="multi"):
     ds = SyntheticStereoDataset(n_frames=n_frames, width=W_IMG, height=H_IMG,
                                 speed=speed, yaw_rate=0.015)
     cfg = make_config(W_IMG, H_IMG, preset=0, mode=1)
@@ -36,32 +37,42 @@ def build_window(n_frames=3, n_pts=400, speed=0.3, perturb_pose=0.0,
             T = np.asarray(lie.se3_exp(jnp.asarray(xi, jnp.float32))) @ T
         state = ba.add_frame(state, i, i, T, np.zeros(2), 1.0, planes)
 
-    # host all points in frame 0 with GT idepth (optionally perturbed)
-    # integer pixel locations so pattern colors and depth lookups are exact
-    us = rng.randint(4, W_IMG - 5, n_pts).astype(np.float32)
-    vs = rng.randint(4, H_IMG - 5, n_pts).astype(np.float32)
-    depth = np.asarray(frames[0]["depth0"])[vs.astype(int), us.astype(int)]
-    idepth_gt = (1.0 / depth).astype(np.float32)
-    idepth = idepth_gt.copy()
-    if perturb_idepth > 0:
-        idepth = idepth * (1.0 + rng.randn(n_pts).astype(np.float32) * perturb_idepth)
-
-    # pattern colors from host image
-    img0 = np.asarray(frames[0]["img0"])
-    color = np.zeros((n_pts, 8), np.float32)
-    for k, (du, dv) in enumerate(PATTERN_OFFSETS):
-        color[:, k] = img0[
-            np.clip((vs + dv).astype(int), 0, H_IMG - 1),
-            np.clip((us + du).astype(int), 0, W_IMG - 1),
-        ]
-    state = ba.add_points(
-        state,
-        jnp.arange(n_pts),
-        0,
-        jnp.asarray(us), jnp.asarray(vs), jnp.asarray(idepth),
-        jnp.asarray(color), jnp.ones((n_pts, 8), jnp.float32),
-        jnp.ones(n_pts, bool),
-    )
+    # host points within each host's pool SEGMENT (segment s = pool rows
+    # [s*P, (s+1)*P); the BA's block-factored assembly requires this
+    # invariant). hosts="multi" spreads points over all frames (exercises
+    # every host/target block); hosts="single" puts them all in frame 0
+    # (exact world points — the clean landscape for convergence assertions).
+    P = N_POINTS // N_SLOTS
+    host_frames = list(range(n_frames)) if hosts == "multi" else [0]
+    per = min(P, n_pts // len(host_frames))
+    idepth_gt_full = np.zeros(n_pts, np.float32)
+    k0 = 0
+    for h in host_frames:
+        us = rng.randint(4, W_IMG - 5, per).astype(np.float32)
+        vs = rng.randint(4, H_IMG - 5, per).astype(np.float32)
+        depth = np.asarray(frames[h]["depth0"])[vs.astype(int), us.astype(int)]
+        id_gt = (1.0 / depth).astype(np.float32)
+        idepth = id_gt.copy()
+        if perturb_idepth > 0:
+            idepth = idepth * (1.0 + rng.randn(per).astype(np.float32) * perturb_idepth)
+        img = np.asarray(frames[h]["img0"])
+        color = np.zeros((per, 8), np.float32)
+        for k, (du, dv) in enumerate(PATTERN_OFFSETS):
+            color[:, k] = img[
+                np.clip((vs + dv).astype(int), 0, H_IMG - 1),
+                np.clip((us + du).astype(int), 0, W_IMG - 1),
+            ]
+        idx = jnp.arange(h * P, h * P + per)
+        state = ba.add_points(
+            state, idx, h,
+            jnp.asarray(us), jnp.asarray(vs), jnp.asarray(idepth),
+            jnp.asarray(color), jnp.ones((per, 8), jnp.float32),
+            jnp.ones(per, bool),
+        )
+        idepth_gt_full[k0:k0 + per] = id_gt
+        k0 += per
+    idepth_gt = idepth_gt_full[:k0]
+    n_pts = k0
     # adaptive per-frame energy thresholds (the pipeline sets these as each
     # KF arrives); without them occlusion residuals sit just under the
     # default threshold and bias the optimization
@@ -70,7 +81,9 @@ def build_window(n_frames=3, n_pts=400, speed=0.3, perturb_pose=0.0,
     # the host frame never targets itself; give it the next KF's threshold
     # (DSO copies the previous KF's frameEnergyTH, FrontEnd.cpp:770)
     state = state._replace(energy_th=state.energy_th.at[0].set(state.energy_th[1]))
-    return ds, cfg, state, T_cw_gt, idepth_gt
+    point_index = np.concatenate(
+        [np.arange(h * P, h * P + per) for h in host_frames])
+    return ds, cfg, state, T_cw_gt, (idepth_gt, point_index)
 
 
 def pose_errors(state, T_cw_gt):
@@ -89,7 +102,7 @@ class TestLinearize:
         must be several times below a slightly-perturbed window's energy.
         (Exact-zero case — identity warp — is covered by construction: the
         warp/gather/color conventions agree to ~1e-9.)"""
-        ds, cfg, state, T_gt, id_gt = build_window()
+        ds, cfg, state, T_gt, (id_gt, pidx) = build_window()
         lin = ba.linearize(state, cfg)
         assert float(lin.num_terms) > 0
         e_gt = float(lin.energy) / jnp.maximum(float(lin.num_terms) / 8, 1)
@@ -99,25 +112,41 @@ class TestLinearize:
         assert e_gt < e_p / 3.0, (e_gt, e_p)
 
     def test_gradient_nonzero_when_perturbed(self):
-        ds, cfg, state, T_gt, id_gt = build_window(perturb_pose=0.01)
+        ds, cfg, state, T_gt, (id_gt, pidx) = build_window(perturb_pose=0.01)
         lin = ba.linearize(state, cfg)
         assert float(jnp.linalg.norm(lin.bf)) > 1.0
 
 
 class TestOptimize:
     def test_recovers_pose_perturbation(self):
-        ds, cfg, state, T_gt, id_gt = build_window(perturb_pose=0.02, speed=0.8)
+        # single-host window: frame 0 hosts every point with exact idepth, so
+        # the implied world points are correct and the photometric minimum
+        # sits at GT (up to the synthetic world's bilinear-resampling bias).
+        ds, cfg, state, T_gt, (id_gt, pidx) = build_window(
+            perturb_pose=0.02, speed=0.8, hosts="single")
         errs0 = pose_errors(state, T_gt)
         state2, rmse, ok = ba.optimize(state, cfg, 8)
         errs1 = pose_errors(state2, T_gt)
         assert bool(ok)
-        # convergence is limited by the bilinear-resampling bias of the
-        # synthetic world: the BA energy minimum sits a small distance from
-        # GT (verified: the optimizer's final energy is below the GT-state
-        # energy), so expect substantial but not total error reduction.
         assert errs1[0] == 0.0  # anchor frame exactly fixed
         assert errs1[1] < max(errs0[1] * 0.45, 0.012), (errs0, errs1)
         assert errs1[2] < max(errs0[2] * 0.75, 0.015), (errs0, errs1)
+        assert float(rmse) < 12.0
+
+    def test_multihost_reduces_energy_and_grows_inliers(self):
+        # multi-host window with perturbed host poses: the implied world
+        # points are themselves wrong, so the energy landscape is rough
+        # (wrong-world-point compromises + resampling ripple) and pose-vs-GT
+        # error is not a meaningful optimizer metric at sub-pixel scale.
+        # What BA guarantees: energy drops substantially and previously
+        # capped residuals come back below threshold (inlier count GROWS).
+        ds, cfg, state, T_gt, _ = build_window(perturb_pose=0.02, speed=0.8)
+        lin0 = ba.linearize(state, cfg)
+        state2, rmse, ok = ba.optimize(state, cfg, 8)
+        lin1 = ba.linearize(state2, cfg)
+        assert bool(ok)
+        assert float(lin1.energy) < 0.4 * float(lin0.energy)
+        assert float(lin1.num_terms) > 1.1 * float(lin0.num_terms)
         assert float(rmse) < 12.0
 
     def test_recovers_idepth_perturbation(self):
@@ -125,10 +154,10 @@ class TestOptimize:
         # photometric basin and inliers; larger jumps are correctly treated
         # as outliers by the energy threshold (DSO behavior) and cannot be
         # recovered by local optimization.
-        ds, cfg, state, T_gt, id_gt = build_window(perturb_idepth=0.1, speed=0.8)
+        ds, cfg, state, T_gt, (id_gt, pidx) = build_window(perturb_idepth=0.1, speed=0.8)
         state2, rmse, ok = ba.optimize(state, cfg, 8)
-        id_est = np.asarray(state2.p_idepth)[: len(id_gt)]
-        rel0 = np.abs(np.asarray(state.p_idepth)[: len(id_gt)] - id_gt) / id_gt
+        id_est = np.asarray(state2.p_idepth)[pidx]
+        rel0 = np.abs(np.asarray(state.p_idepth)[pidx] - id_gt) / id_gt
         rel1 = np.abs(id_est - id_gt) / id_gt
         # recovers toward the ~3% bias floor of the synthetic world
         assert np.median(rel1) < np.median(rel0) * 0.75, (
@@ -136,7 +165,7 @@ class TestOptimize:
         assert np.median(rel1) < 0.055
 
     def test_energy_decreases(self):
-        ds, cfg, state, T_gt, id_gt = build_window(perturb_pose=0.02, perturb_idepth=0.1)
+        ds, cfg, state, T_gt, (id_gt, pidx) = build_window(perturb_pose=0.02, perturb_idepth=0.1)
         e0 = float(ba.linearize(state, cfg).energy)
         state2, rmse, ok = ba.optimize(state, cfg, 6)
         e1 = float(ba.linearize(state2, cfg).energy)
@@ -145,12 +174,14 @@ class TestOptimize:
 
 class TestMarginalization:
     def test_point_marginalization_keeps_window_solvable(self):
-        ds, cfg, state, T_gt, id_gt = build_window(perturb_pose=0.015)
+        ds, cfg, state, T_gt, (id_gt, pidx) = build_window(
+            perturb_pose=0.015, hosts="single")
         errs0 = pose_errors(state, T_gt)
         n = state.num_points
-        marg = jnp.arange(n) < 100  # marginalize the first 100 points
+        marg = jnp.arange(n) < 100  # marginalize 100 of slot-0's points
+        n_valid0 = int(jnp.sum(state.p_valid))
         state = ba.marginalize_points(state, marg, cfg)
-        assert int(jnp.sum(state.p_valid)) == 300
+        assert int(jnp.sum(state.p_valid)) == n_valid0 - 100
         assert float(jnp.linalg.norm(state.HM)) > 0
         state2, rmse, ok = ba.optimize(state, cfg, 8)
         errs1 = pose_errors(state2, T_gt)
@@ -161,7 +192,7 @@ class TestMarginalization:
         produce the same (HM, bM) as a directly-computed Schur complement of
         the joint [frames | idepths] system over idepths and the removed
         frame block."""
-        ds, cfg, state, T_gt, id_gt = build_window(n_frames=3)
+        ds, cfg, state, T_gt, (id_gt, pidx) = build_window(n_frames=3)
         lin = ba.linearize(state, cfg)
         n = state.num_points
         D = 4 + 8 * state.num_slots

@@ -17,11 +17,11 @@ W, H, LVLS = 256, 80, 4
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="aggressive-turn synthetic loop still starves active points "
-    "mid-sequence (under investigation); failure is now detected as is_lost "
-    "instead of silently diverging", strict=False)
 def test_full_slam_synthetic_loop(tmp_path):
+    # Historical note: this used to starve active points mid-sequence and
+    # xfail; per-host-segment point allocation (ba.add_points invariant)
+    # fixed the starvation — each keyframe now keeps its own pool segment
+    # instead of newest-KF activations evicting older hosts' points.
     # box-rich world, 1.5-lap trajectory
     rngb = np.random.RandomState(7)
     centers = []
