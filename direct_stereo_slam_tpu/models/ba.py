@@ -179,11 +179,17 @@ def _pattern_uv(u, v):
     return u[..., None] + du, v[..., None] + dv
 
 
+@partial(jax.jit, static_argnums=(1,))
 def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     """Linearize all (point, target) residuals at the current state with
     first-estimate Jacobians (geometry at zero states, photometric residual
     at current states) — DSO PointFrameResidual::linearize equivalent for
-    the whole window at once."""
+    the whole window at once.
+
+    Jitted at the top level as well as being called inside optimize():
+    the frontend's marginalization bookkeeping calls it directly, and an
+    eager trace is hundreds of individual dispatches — ruinous on a
+    remote-attached TPU where every dispatch is a network round trip."""
     W = state.num_slots
     NP = state.num_points
     D = 4 + 8 * W
@@ -686,6 +692,7 @@ def set_new_frame_energy_th(state: BAState, newest_slot: jnp.ndarray, cfg: SLAMC
     return state._replace(energy_th=state.energy_th.at[newest_slot].set(th))
 
 
+@jax.jit
 def reset_fej_newest(state: BAState, newest_slot) -> BAState:
     """After optimization, move the newest frame's FEJ point to its current
     pose, keeping the affine delta (FrontEndOptimize.cpp:455-460)."""
@@ -735,6 +742,7 @@ def marginalize_points(state: BAState, marg_mask: jnp.ndarray, cfg: SLAMConfig):
     )
 
 
+@jax.jit
 def drop_points(state: BAState, drop_mask: jnp.ndarray) -> BAState:
     """Drop points without folding them into the prior (outliers)."""
     return state._replace(p_valid=state.p_valid & ~drop_mask)
@@ -797,6 +805,19 @@ def marginalize_frame(state: BAState, slot: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def current_views(state: BAState):
+    """(T_current [W,4,4], aff_current [W,2], calib_current [4],
+    frame_valid [W], frame_id [W]) in ONE compiled dispatch. Host
+    orchestration should call this (and pull the tuple with a single
+    jax.device_get) instead of the eager BAState methods: eager se3_exp
+    is dozens of dispatches, each a network round trip on a
+    remote-attached TPU."""
+    return (state.T_current(), state.aff_current(), state.calib_current(),
+            state.frame_valid, state.frame_id)
+
+
+@jax.jit
 def add_frame(
     state: BAState,
     slot: int,
@@ -808,13 +829,17 @@ def add_frame(
 ) -> BAState:
     """Insert a keyframe into a free slot (EnergyFunctional::insertFrame).
     New residuals toward the new frame activate automatically through the
-    dense [NP, W] residual grid."""
+    dense [NP, W] residual grid. Jitted: one dispatch instead of ~9
+    eager scatters (scalar args trace as weak-typed, so repeated calls
+    hit the same executable)."""
+    T_cw = jnp.asarray(T_cw, jnp.float32)
+    aff = jnp.asarray(aff, jnp.float32)
     return state._replace(
         frame_valid=state.frame_valid.at[slot].set(True),
         frame_id=state.frame_id.at[slot].set(frame_id),
-        T_zero=state.T_zero.at[slot].set(jnp.asarray(T_cw, jnp.float32)),
+        T_zero=state.T_zero.at[slot].set(T_cw),
         delta=state.delta.at[slot].set(0.0),
-        aff_zero=state.aff_zero.at[slot].set(jnp.asarray(aff, jnp.float32)),
+        aff_zero=state.aff_zero.at[slot].set(aff),
         exposure=state.exposure.at[slot].set(exposure),
         images=state.images.at[slot].set(image_planes),
         energy_th=state.energy_th.at[slot].set(12.0 * 12.0 * 8.0),
@@ -822,6 +847,7 @@ def add_frame(
     )
 
 
+@jax.jit
 def add_points(
     state: BAState,
     free_idx: jnp.ndarray,     # [K] point-pool indices to fill
@@ -831,19 +857,25 @@ def add_points(
     valid: jnp.ndarray,
     prior: jnp.ndarray = None,
 ) -> BAState:
+    """Insert points into the pool. Jitted; scatters use mode="drop" so a
+    caller can pass a FIXED-length batch padded with valid=False lanes
+    (indices routed out of bounds) — one compiled executable regardless
+    of how many points actually activate, which matters on a
+    remote-attached TPU (varying K would recompile per distinct count)."""
     if prior is None:
         prior = jnp.zeros_like(u)
+    idx = jnp.where(valid, free_idx, state.num_points)  # OOB lane -> dropped
     return state._replace(
-        p_valid=state.p_valid.at[free_idx].set(valid),
-        p_host=state.p_host.at[free_idx].set(host_slot),
-        p_u=state.p_u.at[free_idx].set(u),
-        p_v=state.p_v.at[free_idx].set(v),
-        p_idepth=state.p_idepth.at[free_idx].set(idepth),
-        p_idepth_zero=state.p_idepth_zero.at[free_idx].set(idepth),
-        p_color=state.p_color.at[free_idx].set(color),
-        p_weight=state.p_weight.at[free_idx].set(weight),
-        p_prior=state.p_prior.at[free_idx].set(prior),
-        p_res_good=state.p_res_good.at[free_idx, :].set(
-            valid[:, None] & jnp.ones((1, state.num_slots), bool)
+        p_valid=state.p_valid.at[idx].set(valid, mode="drop"),
+        p_host=state.p_host.at[idx].set(host_slot, mode="drop"),
+        p_u=state.p_u.at[idx].set(u, mode="drop"),
+        p_v=state.p_v.at[idx].set(v, mode="drop"),
+        p_idepth=state.p_idepth.at[idx].set(idepth, mode="drop"),
+        p_idepth_zero=state.p_idepth_zero.at[idx].set(idepth, mode="drop"),
+        p_color=state.p_color.at[idx].set(color, mode="drop"),
+        p_weight=state.p_weight.at[idx].set(weight, mode="drop"),
+        p_prior=state.p_prior.at[idx].set(prior, mode="drop"),
+        p_res_good=state.p_res_good.at[idx, :].set(
+            valid[:, None] & jnp.ones((1, state.num_slots), bool), mode="drop"
         ),
     )

@@ -49,6 +49,42 @@ from .tracker import (
 _HI = jax.lax.Precision.HIGHEST
 
 
+@jax.jit
+def _insert_candidates(state, pu, pv, idepth, color, weight, src, idx,
+                       valid, host_slot):
+    """Gather accepted immature candidates and insert them into the point
+    pool in ONE compiled dispatch (fixed-length padded batch; invalid
+    lanes route out of bounds and are dropped by the scatter)."""
+    return ba.add_points(
+        state, idx, host_slot,
+        pu[src], pv[src], idepth[src], color[src], weight[src], valid,
+    )
+
+
+@jax.jit
+def _gather_level_colors(pyr_data, u, v):
+    """Level-0 pixel coords [K] -> per-level interpolated intensity [K, L]
+    in one compiled dispatch (loop-handler point export)."""
+    from ..ops.interp import bilinear_gather
+    cols = []
+    for lvl, planes in enumerate(pyr_data):
+        ul = (u + 0.5) / (1 << lvl) - 0.5
+        vl = (v + 0.5) / (1 << lvl) - 0.5
+        cols.append(bilinear_gather(planes, ul, vl)[..., 0])
+    return jnp.stack(cols, -1)
+
+
+@dataclass
+class TrackResultNp:
+    """Host copy of the tracker-batch outputs (one device_get per batch)."""
+
+    res_per_level: np.ndarray    # [N, L]
+    flow: np.ndarray             # [N, 3]
+    T: np.ndarray                # [N, 4, 4]
+    aff: np.ndarray              # [N, 2]
+    ok: np.ndarray               # [N]
+
+
 @dataclass
 class FrameShell:
     """Host record per processed frame (DSO FrameShell)."""
@@ -145,27 +181,36 @@ class FrontEnd:
     # ------------------------------------------------------------------
 
     def _free_slot(self) -> int:
-        valid = np.asarray(self.ba_state.frame_valid)
+        valid = self._views_np()[3]
         for i in range(self.n_slots):
             if not valid[i]:
                 return i
         raise RuntimeError("no free keyframe slot")
 
     def _newest_slot(self) -> int:
-        fid = np.asarray(self.ba_state.frame_id)
-        valid = np.asarray(self.ba_state.frame_valid)
+        _, _, _, valid, fid = self._views_np()
         fid = np.where(valid, fid, -1)
         return int(np.argmax(fid))
 
     def _active_slots(self) -> List[int]:
-        valid = np.asarray(self.ba_state.frame_valid)
-        fid = np.asarray(self.ba_state.frame_id)
+        _, _, _, valid, fid = self._views_np()
         slots = [i for i in range(self.n_slots) if valid[i]]
         return sorted(slots, key=lambda s: fid[s])
 
+    def _views_np(self):
+        """Host copies of (T_current, aff_current, calib_current,
+        frame_valid, frame_id), one device round trip, cached per BAState
+        instance (the state pytree is immutable, so identity is a sound
+        cache key)."""
+        st = self.ba_state
+        if getattr(self, "_views_cache_key", None) is not st:
+            self._views_cache = jax.device_get(ba.current_views(st))
+            self._views_cache_key = st
+        return self._views_cache
+
     def _kf_pose(self, slot: int) -> np.ndarray:
         """camToWorld of a window KF (current estimate)."""
-        T_cw = np.asarray(self.ba_state.T_current())[slot]
+        T_cw = self._views_np()[0][slot]
         return np.linalg.inv(T_cw)
 
     def _point_count(self) -> int:
@@ -223,17 +268,21 @@ class FrontEnd:
             self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2), 1.0,
             pyr0.data[0],
         )
-        cap = min(self.cfg.ba.max_points_per_frame, len(valid))
-        sel_idx = np.nonzero(keep)[0][:cap]
-        k = len(sel_idx)
-        free = jnp.arange(k)
+        # fixed-length padded batch (see _insert_candidates): one compiled
+        # shape even across reinits with different survivor counts
+        P = self.cfg.ba.max_points_per_frame
+        cap = min(P, len(valid))
+        k = min(cap, int(keep.sum()))
+        src = np.zeros(P, np.int32)
+        src[:k] = np.nonzero(keep)[0][:k]
+        pvalid = np.arange(P) < k
         self.ba_state = ba.add_points(
-            self.ba_state, free, slot,
-            res.u[jnp.asarray(sel_idx)], res.v[jnp.asarray(sel_idx)],
-            res.idepth[jnp.asarray(sel_idx)],
-            res.color[jnp.asarray(sel_idx)], res.weight[jnp.asarray(sel_idx)],
-            jnp.ones(k, bool),
-            prior=jnp.full((k,), self.cfg.ba.idepth_fix_prior, jnp.float32),
+            self.ba_state, jnp.arange(P), slot,
+            res.u[jnp.asarray(src)], res.v[jnp.asarray(src)],
+            res.idepth[jnp.asarray(src)],
+            res.color[jnp.asarray(src)], res.weight[jnp.asarray(src)],
+            jnp.asarray(pvalid),
+            prior=jnp.full((P,), self.cfg.ba.idepth_fix_prior, jnp.float32),
         )
         self.slot_stats[slot] = {"out": 0, "marg": 0}
         self.pyramids[slot] = pyr0
@@ -288,8 +337,12 @@ class FrontEnd:
                     jnp.asarray(batch), aff_init, self.template_ref_aff,
                     self.template_ref_exposure, jnp.float32(1.0),
                 )
-                i, g = select_winner(r, self.last_coarse_rmse, self.cfg)
-                return r, i, g
+                # one transfer for everything the host needs from the batch
+                r_np = TrackResultNp(*jax.device_get((
+                    r.res_per_level, r.flow, r.T,
+                    jnp.stack([r.aff.a, r.aff.b], -1), r.ok)))
+                i, g = select_winner(r_np, self.last_coarse_rmse, self.cfg)
+                return r_np, i, g
 
             res, idx, good = run(stage1[:1])
             if not good or float(res.res_per_level[idx, 0]) > thr:
@@ -308,7 +361,7 @@ class FrontEnd:
         self.all_frames.append(shell)
 
         r0 = float(res.res_per_level[idx, 0])
-        flow = np.asarray(res.flow[idx])
+        flow = res.flow[idx]
         if not math.isfinite(r0) or not np.all(np.isfinite(flow)):
             # non-finite tracking residual -> lost (FrontEnd.cpp:635-640)
             self.is_lost = True
@@ -320,10 +373,10 @@ class FrontEnd:
             flow = np.zeros(3, np.float32)
             r0 = float(res.res_per_level[0, 0])
 
-        T_ref_new = np.asarray(res.T[idx])            # warp ref->new
+        T_ref_new = res.T[idx]                        # warp ref->new
         shell.T_wc = (T_w_ref @ np.linalg.inv(T_ref_new)).astype(np.float32)
-        shell.aff = np.asarray([float(res.aff.a[idx]), float(res.aff.b[idx])])
-        shell.tracking_ref_kf = int(np.asarray(self.ba_state.frame_id)[ref_slot])
+        shell.aff = res.aff[idx].copy()
+        shell.tracking_ref_kf = int(self._views_np()[4][ref_slot])
         shell._T_ref_new = T_ref_new
         shell._flow = flow
         shell._res0 = r0
@@ -368,7 +421,7 @@ class FrontEnd:
         K = np.asarray(self.intr0.K(0), np.float32)
         Ki = np.linalg.inv(K)
         T_cw_new = np.linalg.inv(T_wc_new)
-        aff_all = np.asarray(self.ba_state.aff_current())
+        aff_all = self._views_np()[1]
         for slot in list(self.immatures.keys()):
             T_w_host = self._kf_pose(slot)
             T_nh = T_cw_new @ T_w_host
@@ -488,15 +541,19 @@ class FrontEnd:
         if len(slots) < 2:
             return []
         newest = slots[-1]
-        aff_all = np.asarray(self.ba_state.aff_current())
-        p_valid = np.asarray(self.ba_state.p_valid)
-        p_host = np.asarray(self.ba_state.p_host)
+        aff_all = self._views_np()[1]
+        imm_slots = [s for s in slots if s in self.immatures]
+        pulled = jax.device_get((
+            self.ba_state.p_valid, self.ba_state.p_host,
+            tuple(jnp.sum(self.immatures[s].valid) for s in imm_slots),
+        ))
+        p_valid, p_host = pulled[0], pulled[1]
+        imm_counts = dict(zip(imm_slots, pulled[2]))
         flagged: List[int] = []
 
         for s in slots:
             n_in = int((p_valid & (p_host == s)).sum())
-            if s in self.immatures:
-                n_in += int(np.asarray(jnp.sum(self.immatures[s].valid)))
+            n_in += int(imm_counts.get(s, 0))
             n_out = self.slot_stats.get(s, {}).get("out", 0) + \
                 self.slot_stats.get(s, {}).get("marg", 0)
             a_rel = math.exp(aff_all[newest, 0] - aff_all[s, 0])
@@ -558,59 +615,65 @@ class FrontEnd:
         # distance map from active points projected into the new KF (half res)
         K = np.asarray(self.intr0.K(1), np.float32)  # level-1 intrinsics
         h2, w2 = self.intr0.h[1], self.intr0.w[1]
-        T_cw_new = np.asarray(self.ba_state.T_current())[new_slot]
         st = self.ba_state
-        # project active points into new frame at half-res
-        T_all = np.asarray(st.T_current())
-        fx0, fy0, cx0, cy0 = np.asarray(st.calib_current())
-        p_host = np.asarray(st.p_host)
+        # project active points into new frame at half-res (host copies of
+        # the state views come from the single cached device_get)
+        T_all, _, calib_np, _, _ = self._views_np()
+        fx0, fy0, cx0, cy0 = calib_np
+        T_cw_new = T_all[new_slot]
+        p_host, pu_a, pv_a, pid_a, pvalid_a = jax.device_get((
+            st.p_host, st.p_u, st.p_v, st.p_idepth, st.p_valid))
         T_nh = np.einsum("ij,hjk->hik", T_cw_new, np.linalg.inv(T_all))  # per host
         Xh = np.stack([
-            (np.asarray(st.p_u) - cx0) / fx0,
-            (np.asarray(st.p_v) - cy0) / fy0,
+            (pu_a - cx0) / fx0,
+            (pv_a - cy0) / fy0,
             np.ones(self.pool, np.float32),
-        ], -1) / np.maximum(np.asarray(st.p_idepth), 1e-6)[:, None]
+        ], -1) / np.maximum(pid_a, 1e-6)[:, None]
         R = T_nh[p_host, :3, :3]
         t = T_nh[p_host, :3, 3]
         pt = np.einsum("pij,pj->pi", R, Xh) + t
         pu2 = K[0, 0] * pt[:, 0] / pt[:, 2] + K[0, 2]
         pv2 = K[1, 1] * pt[:, 1] / pt[:, 2] + K[1, 2]
-        proj_ok = np.asarray(st.p_valid) & (pt[:, 2] > 0)
-        dist_map = build_distance_map(
+        proj_ok = pvalid_a & (pt[:, 2] > 0)
+        dist_np = np.asarray(build_distance_map(
             jnp.asarray(pu2), jnp.asarray(pv2), jnp.asarray(proj_ok), h2, w2
-        )
-        dist_np = np.asarray(dist_map)
+        ))
 
         images = st.images
         frame_valid = st.frame_valid
-        T_cw_j = st.T_current()
-        aff_j = st.aff_current()
-        calib_j = st.calib_current()
+        # device-side views for the jitted activation call: one dispatch
+        T_cw_j, aff_j, calib_j, _, _ = ba.current_views(st)
 
         for slot in list(self.immatures.keys()):
             if slot == new_slot:
                 continue
             pts = self.immatures[slot]
-            can = immature.can_activate(pts, cfg)
+            # ONE transfer for everything the host gate logic needs (each
+            # np.asarray is a device round trip — ruinous on a
+            # remote-attached chip)
+            can, pu_h, pv_h, idmin_h, idmax_h, status, valid_h, mytype_h = (
+                jax.device_get((
+                    immature.can_activate(pts, cfg),
+                    pts.u, pts.v, pts.idepth_min, pts.idepth_max,
+                    pts.status, pts.valid, pts.my_type,
+                )))
             # project candidates into the new frame (half res) for the gate
             T_w_host = self._kf_pose(slot)
             T_nh1 = np.linalg.inv(self._kf_pose(new_slot))[None] @ T_w_host  # 4x4
             KRKi1 = K @ T_nh1[0, :3, :3] @ np.linalg.inv(np.asarray(self.intr0.K(1)))
             # use mid idepth; level-1 coordinates = (x+0.5)/2-0.5
-            u1 = (np.asarray(pts.u) + 0.5) / 2 - 0.5
-            v1 = (np.asarray(pts.v) + 0.5) / 2 - 0.5
-            id_mid = 0.5 * (np.asarray(pts.idepth_min)
-                            + np.minimum(np.asarray(pts.idepth_max), 1e3))
+            u1 = (pu_h + 0.5) / 2 - 0.5
+            v1 = (pv_h + 0.5) / 2 - 0.5
+            id_mid = 0.5 * (idmin_h + np.minimum(idmax_h, 1e3))
             ptp = (np.stack([u1, v1, np.ones_like(u1)], -1) @ KRKi1.T
                    + (K @ T_nh1[0, :3, 3])[None] * id_mid[:, None])
             gu = np.clip((ptp[:, 0] / ptp[:, 2] + 0.5).astype(int), 0, w2 - 1)
             gv = np.clip((ptp[:, 1] / ptp[:, 2] + 0.5).astype(int), 0, h2 - 1)
             in_b = (ptp[:, 2] > 0) & (gu > 0) & (gv > 0) & (gu < w2 - 1) & (gv < h2 - 1)
-            gate = dist_np[gv, gu] >= self.current_min_act_dist * np.asarray(pts.my_type)
-            want_mask = np.asarray(can) & in_b & gate
+            gate = dist_np[gv, gu] >= self.current_min_act_dist * mytype_h
+            want_mask = can & in_b & gate
             # delete candidates that will never activate (OOB / outlier)
-            status = np.asarray(pts.status)
-            drop = np.asarray(pts.valid) & (
+            drop = valid_h & (
                 (status == immature.IPS_OUTLIER) | (~in_b & (status == immature.IPS_OOB))
             )
             if want_mask.sum() == 0:
@@ -623,23 +686,30 @@ class FrontEnd:
                 pts, jnp.int32(slot), images, frame_valid, T_cw_j, aff_j,
                 calib_j, cfg,
             )
-            ok = np.asarray(act.ok) & want_mask
+            act_ok, seg_valid = jax.device_get(
+                (act.ok, self.ba_state.p_valid[slot * self.cfg.ba.max_points_per_frame:
+                                               (slot + 1) * self.cfg.ba.max_points_per_frame]))
+            ok = act_ok & want_mask
             # insert accepted into free entries of the host's pool SEGMENT
             # (the pool is partitioned per host slot: segment s = rows
             # [s*P, (s+1)*P) — keeps host indices block-uniform, which the
-            # Pallas Hessian-assembly kernel exploits)
+            # block-factored Hessian assembly exploits).
+            # FIXED-length batch (padded, valid=False lanes dropped in the
+            # scatter) so the insert is ONE jitted dispatch with a single
+            # compiled shape regardless of how many points activate.
             P = self.cfg.ba.max_points_per_frame
-            seg = slice(slot * P, (slot + 1) * P)
-            seg_free = np.nonzero(~np.asarray(self.ba_state.p_valid[seg]))[0] + slot * P
+            seg_free = np.nonzero(~seg_valid)[0] + slot * P
             k = min(len(seg_free), int(ok.sum()))
             if k > 0:
-                src = np.nonzero(ok)[0][:k]
-                self.ba_state = ba.add_points(
-                    self.ba_state, jnp.asarray(seg_free[:k]), slot,
-                    pts.u[jnp.asarray(src)], pts.v[jnp.asarray(src)],
-                    act.idepth[jnp.asarray(src)],
-                    pts.color[jnp.asarray(src)], pts.weight[jnp.asarray(src)],
-                    jnp.ones(k, bool),
+                src = np.zeros(P, np.int32)
+                src[:k] = np.nonzero(ok)[0][:k]
+                idx = np.zeros(P, np.int32)
+                idx[:k] = seg_free[:k]
+                valid = np.arange(P) < k
+                self.ba_state = _insert_candidates(
+                    self.ba_state, pts.u, pts.v, act.idepth, pts.color,
+                    pts.weight, jnp.asarray(src), jnp.asarray(idx),
+                    jnp.asarray(valid), slot,
                 )
             # remove activated + dropped candidates
             self.immatures[slot] = pts._replace(
@@ -662,24 +732,25 @@ class FrontEnd:
         reference KF with BA idepth-hessian weights."""
         st = self.ba_state
         lin = ba.linearize(st, self.cfg)
-        T_all = np.asarray(st.T_current())
-        fx0, fy0, cx0, cy0 = np.asarray(st.calib_current())
+        T_all, _, calib_np, _, _ = self._views_np()
+        fx0, fy0, cx0, cy0 = calib_np
+        p_host, pu_a, pv_a, pid_a, pvalid_a, Hdd_a = jax.device_get((
+            st.p_host, st.p_u, st.p_v, st.p_idepth, st.p_valid, lin.Hdd))
         T_rh = np.einsum("ij,hjk->hik", T_all[ref_slot], np.linalg.inv(T_all))
-        p_host = np.asarray(st.p_host)
         Xh = np.stack([
-            (np.asarray(st.p_u) - cx0) / fx0,
-            (np.asarray(st.p_v) - cy0) / fy0,
+            (pu_a - cx0) / fx0,
+            (pv_a - cy0) / fy0,
             np.ones(self.pool, np.float32),
-        ], -1) / np.maximum(np.asarray(st.p_idepth), 1e-6)[:, None]
+        ], -1) / np.maximum(pid_a, 1e-6)[:, None]
         R = T_rh[p_host, :3, :3]
         t = T_rh[p_host, :3, 3]
         pt = np.einsum("pij,pj->pi", R, Xh) + t
         proj_u = fx0 * pt[:, 0] / pt[:, 2] + cx0
         proj_v = fy0 * pt[:, 1] / pt[:, 2] + cy0
         new_id = 1.0 / np.maximum(pt[:, 2], 1e-6)
-        valid = np.asarray(st.p_valid) & (pt[:, 2] > 0)
+        valid = pvalid_a & (pt[:, 2] > 0)
         # weight = sqrt(1e-3 / HdiF) = sqrt(1e-3 * Hdd) (TAS.cpp:158)
-        w = np.sqrt(1e-3 * np.maximum(np.asarray(lin.Hdd), 1e-9))
+        w = np.sqrt(1e-3 * np.maximum(Hdd_a, 1e-9))
 
         self.template = build_template(
             jnp.asarray(proj_u), jnp.asarray(proj_v), jnp.asarray(new_id),
@@ -691,7 +762,7 @@ class FrontEnd:
         if int(np.asarray(jnp.sum(self.template.pmask[0]))) < 8:
             self.is_lost = True
         self.template_kf_slot = ref_slot
-        aff = np.asarray(st.aff_current())[ref_slot]
+        aff = self._views_np()[1][ref_slot]
         self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))
         self.template_ref_exposure = jnp.float32(1.0)
         self.first_coarse_rmse = -1.0
@@ -726,11 +797,10 @@ class FrontEnd:
         cfg = self.cfg
         st = self.ba_state
         lin = ba.linearize(st, cfg)
-        p_valid = np.asarray(st.p_valid)
-        p_host = np.asarray(st.p_host)
-        idepth = np.asarray(st.p_idepth)
-        n_good = np.asarray(jnp.sum(lin.pair_good, axis=1))
-        Hdd = np.asarray(lin.Hdd)
+        p_valid, p_host, idepth, n_good, Hdd = jax.device_get((
+            st.p_valid, st.p_host, st.p_idepth,
+            jnp.sum(lin.pair_good, axis=1), lin.Hdd,
+        ))
 
         host_flagged = np.isin(p_host, flagged_slots)
         bad = p_valid & ((idepth < 0) | (n_good == 0))
@@ -769,10 +839,12 @@ class FrontEnd:
         cfg = self.cfg
         st = self.ba_state
         lin = ba.linearize(st, cfg)
+        pair_good, pair_e, p_host_a, pu_a, pv_a, pid_a = jax.device_get((
+            lin.pair_good, lin.pair_energy, st.p_host, st.p_u, st.p_v,
+            st.p_idepth,
+        ))
 
         # dso_error: energy of residuals targeting the frame / count^2
-        pair_good = np.asarray(lin.pair_good)
-        pair_e = np.asarray(lin.pair_energy)
         tgt = pair_good[:, slot]
         cnt = int(tgt.sum())
         if cnt > 0:
@@ -784,29 +856,30 @@ class FrontEnd:
         # export marginalized points (this slot's points that were just
         # folded into the prior) + level colors for the loop handler
         marg_mask = getattr(self, "_last_marg_mask", np.zeros(self.pool, bool))
-        sel = marg_mask & (np.asarray(st.p_host) == slot)
-        fx0, fy0, cx0, cy0 = np.asarray(st.calib_current())
-        pu = np.asarray(st.p_u)[sel]
-        pv = np.asarray(st.p_v)[sel]
-        pid = np.maximum(np.asarray(st.p_idepth)[sel], 1e-6)
+        sel = marg_mask & (p_host_a == slot)
+        fx0, fy0, cx0, cy0 = self._views_np()[2]
+        pu = pu_a[sel]
+        pv = pv_a[sel]
+        pid = np.maximum(pid_a[sel], 1e-6)
         pts_cam = np.stack(
             [(pu - cx0) / fx0 / pid, (pv - cy0) / fy0 / pid, 1.0 / pid], -1
         )
-        # per-level intensities at the point (LoopHandler.cpp:175-180)
+        # per-level intensities at the point (LoopHandler.cpp:175-180):
+        # one jitted multi-level gather over the slot's FIXED-size pool
+        # segment + one pull (a per-level eager gather is 2 round trips
+        # per level, and gathering only the K selected points would
+        # recompile for every distinct K)
         pyr = self.pyramids.get(slot)
         if pyr is not None and len(pu) > 0:
-            from ..ops.interp import bilinear_gather
-            cols = []
-            for lvl in range(self.levels):
-                ul = (pu + 0.5) / (1 << lvl) - 0.5
-                vl = (pv + 0.5) / (1 << lvl) - 0.5
-                cols.append(np.asarray(bilinear_gather(
-                    pyr.data[lvl], jnp.asarray(ul), jnp.asarray(vl))[:, 0]))
-            colors = np.stack(cols, -1)                      # [K, L]
+            P = self.cfg.ba.max_points_per_frame
+            seg = slice(slot * P, (slot + 1) * P)
+            seg_colors = np.asarray(_gather_level_colors(
+                tuple(pyr.data), jnp.asarray(pu_a[seg]), jnp.asarray(pv_a[seg])))
+            colors = seg_colors[sel[seg]]                   # [K, L]
         else:
             colors = np.asarray(st.p_color)[sel][:, 4:5]
 
-        fid = int(np.asarray(st.frame_id)[slot])
+        fid = int(self._views_np()[4][slot])
         k = fid - self.prev_kf_count
         shell = self.kf_shells[k] if 0 <= k < len(self.kf_shells) else None
         self.marginalized_queue.append(MarginalizedKF(

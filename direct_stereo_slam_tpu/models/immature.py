@@ -374,6 +374,7 @@ def activate_points(
                             num_good=n_good, ok=ok)
 
 
+@partial(jax.jit, static_argnums=(1,))
 def can_activate(pts: ImmaturePoints, cfg: SLAMConfig) -> jnp.ndarray:
     """FrontEnd.cpp:410-416 activation pre-gates."""
     return (
