@@ -169,10 +169,30 @@ class LoopHandler:
         matched = self.frames[match_idx]
 
         # initial guess from the PCA alignment (cpp:267-268)
-        tfm_cur_matched = np.linalg.inv(sc.tfm_pca_rig) @ matched.tfm_pca_rig
+        tfm_pca = np.linalg.inv(sc.tfm_pca_rig) @ matched.tfm_pca_rig
 
-        # ---- direct alignment, then ICP fallback (cpp:270-296) -----------
+        # ---- geometric refinement + photometric verification -------------
+        # The reference runs direct alignment from the PCA seed and falls
+        # back to ICP-only acceptance (cpp:270-296). With LiDAR-dense scans
+        # that ordering works; with the sparse photometric point clouds
+        # here the PCA seed is meters off (outside the direct-alignment
+        # basin) and a sparse-cloud ICP fitness alone can "verify" a wrong
+        # alignment. So: ICP REFINES the PCA seed first, then direct
+        # alignment — tried from both the ICP-refined seed and the
+        # odometry-relative seed (drift-level accurate for true loops) —
+        # is the acceptance gate whenever the current pyramid exists.
+        with self.timers.span("icp"):
+            icp_ok, tfm_icp, fitness = icp_mod.icp(
+                matched.pts_spherical, pts_spherical, tfm_pca,
+                self.cfg.loop.icp_max_iterations,
+                self.cfg.loop.icp_max_corr_dist,
+                self.cfg.loop.icp_transformation_eps,
+                self.cfg.loop.icp_thres,
+            )
+        tfm_odo = np.linalg.inv(lf.T_wc) @ matched.T_wc
+
         direct_ok = False
+        tfm_cur_matched = tfm_icp if icp_ok else tfm_pca
         pose_error = float("inf")
         if mkf.pyr is not None and matched.pts_cam is not None and len(matched.pts_cam) >= 8:
             with self.timers.span("direct_est"):
@@ -190,30 +210,25 @@ class LoopHandler:
                 if ncols < cols.shape[1]:
                     cols[:k, ncols:] = matched.pts_colors[:k, -1:]
                 mask[:k] = True
-                res = pose_estimator.estimate(
-                    tuple(mkf.pyr), jnp.asarray(px), jnp.asarray(py),
-                    jnp.asarray(pz), jnp.asarray(cols), jnp.asarray(mask),
-                    jnp.asarray(tfm_cur_matched, jnp.float32),
-                    self.intr, self.cfg,
-                )
-                direct_ok = bool(res.ok)
-                if direct_ok:
-                    tfm_cur_matched = np.asarray(res.T, np.float64)
-                    pose_error = float(res.pose_error) * self.cfg.loop.direct_error_scale
-
-        icp_ok = False
-        if not direct_ok:
-            with self.timers.span("icp"):
-                icp_ok, tfm_icp, fitness = icp_mod.icp(
-                    matched.pts_spherical, pts_spherical, tfm_cur_matched,
-                    self.cfg.loop.icp_max_iterations,
-                    self.cfg.loop.icp_max_corr_dist,
-                    self.cfg.loop.icp_transformation_eps,
-                    self.cfg.loop.icp_thres,
-                )
-                if icp_ok:
-                    tfm_cur_matched = tfm_icp
-                    pose_error = fitness * self.cfg.loop.icp_error_scale
+                for seed in ((tfm_icp, tfm_odo) if icp_ok else (tfm_pca, tfm_odo)):
+                    res = pose_estimator.estimate(
+                        tuple(mkf.pyr), jnp.asarray(px), jnp.asarray(py),
+                        jnp.asarray(pz), jnp.asarray(cols), jnp.asarray(mask),
+                        jnp.asarray(seed, jnp.float32),
+                        self.intr, self.cfg,
+                    )
+                    if bool(res.ok) and float(res.pose_error) * \
+                            self.cfg.loop.direct_error_scale < pose_error:
+                        direct_ok = True
+                        tfm_cur_matched = np.asarray(res.T, np.float64)
+                        pose_error = float(res.pose_error) * self.cfg.loop.direct_error_scale
+            # pyramid available but photometric verification failed ->
+            # reject even if ICP fitness passed (sparse-cloud ICP is not
+            # trustworthy on its own; see PARITY.md loop-recall notes)
+            icp_ok = False
+        elif icp_ok:
+            tfm_cur_matched = tfm_icp
+            pose_error = fitness * self.cfg.loop.icp_error_scale
 
         if not (direct_ok or icp_ok):
             return
