@@ -127,6 +127,29 @@ def test_loop_detected_and_corrected():
     assert d_orig < 1e-6
 
 
+def test_threaded_handler_matches_sync():
+    """The background-thread path (reference LoopHandler runs on its own
+    thread, LoopHandler.cpp:93-141) must produce the same loops and the
+    same optimized trajectory as synchronous processing."""
+    cfg, intr, stream, gt, est = make_loop_stream()
+    sync = LoopHandler(cfg, intr)
+    for mkf in stream:
+        sync.publish_keyframe(mkf)
+
+    thr = LoopHandler(cfg, intr, threaded=True)
+    for mkf in stream:
+        thr.publish_keyframe(mkf)
+    thr.close()   # drains the queue, then stops the worker
+
+    assert thr.direct_loop_count == sync.direct_loop_count
+    assert thr.icp_loop_count == sync.icp_loop_count
+    assert len(thr.frames) == len(sync.frames)
+    opt_s = np.stack([lf.T_wc for lf in sync.frames])
+    opt_t = np.stack([lf.T_wc for lf in thr.frames])
+    np.testing.assert_allclose(opt_t, opt_s, atol=1e-5)
+    assert thr.optimized_rows() == sync.optimized_rows()
+
+
 def test_loop_disabled_when_scale_failed():
     cfg, intr, stream, gt, est = make_loop_stream()
     for mkf in stream:
