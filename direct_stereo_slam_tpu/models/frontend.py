@@ -482,6 +482,7 @@ class FrontEnd:
             self.ba_state = ba.set_new_frame_energy_th(
                 self.ba_state, jnp.int32(slot), cfg)
             self.ba_state = ba.reset_fej_newest(self.ba_state, jnp.int32(slot))
+            rmse, ok = jax.device_get((rmse, ok))
         rmse = float(rmse)
 
         # ---- init-failure / lost gates (FrontEnd.cpp:778-790) --------------
@@ -644,29 +645,44 @@ class FrontEnd:
         # device-side views for the jitted activation call: one dispatch
         T_cw_j, aff_j, calib_j, _, _ = ba.current_views(st)
 
-        for slot in list(self.immatures.keys()):
-            if slot == new_slot:
-                continue
+        # Three phases tuned for dispatch-latency hygiene: (1) enqueue all
+        # device work for every slot (async — dispatches are cheap, ~0.4 ms
+        # even remote-attached); (2) ONE blocking device_get for every
+        # slot's gate inputs and activation results; (3) host gating math
+        # and async fixed-shape inserts. A per-slot blocking pull here was
+        # the dominant keyframe-pipeline cost on a remote-attached chip.
+        slots_todo = [s for s in self.immatures.keys() if s != new_slot]
+        if not slots_todo:
+            return
+        acts = {}
+        for slot in slots_todo:
+            acts[slot] = immature.activate_points(
+                self.immatures[slot], jnp.int32(slot), images, frame_valid,
+                T_cw_j, aff_j, calib_j, cfg,
+            )
+        pulled = jax.device_get(tuple(
+            (immature.can_activate(self.immatures[s], cfg),
+             self.immatures[s].u, self.immatures[s].v,
+             self.immatures[s].idepth_min, self.immatures[s].idepth_max,
+             self.immatures[s].status, self.immatures[s].valid,
+             self.immatures[s].my_type, acts[s].ok)
+            for s in slots_todo))
+
+        P = self.cfg.ba.max_points_per_frame
+        K1i = np.linalg.inv(np.asarray(self.intr0.K(1)))
+        T_w_new_inv = np.linalg.inv(self._kf_pose(new_slot))
+        for i, slot in enumerate(slots_todo):
             pts = self.immatures[slot]
-            # ONE transfer for everything the host gate logic needs (each
-            # np.asarray is a device round trip — ruinous on a
-            # remote-attached chip)
-            can, pu_h, pv_h, idmin_h, idmax_h, status, valid_h, mytype_h = (
-                jax.device_get((
-                    immature.can_activate(pts, cfg),
-                    pts.u, pts.v, pts.idepth_min, pts.idepth_max,
-                    pts.status, pts.valid, pts.my_type,
-                )))
+            can, pu_h, pv_h, idmin_h, idmax_h, status, valid_h, mytype_h, act_ok = pulled[i]
             # project candidates into the new frame (half res) for the gate
-            T_w_host = self._kf_pose(slot)
-            T_nh1 = np.linalg.inv(self._kf_pose(new_slot))[None] @ T_w_host  # 4x4
-            KRKi1 = K @ T_nh1[0, :3, :3] @ np.linalg.inv(np.asarray(self.intr0.K(1)))
+            T_nh1 = T_w_new_inv @ self._kf_pose(slot)  # 4x4
+            KRKi1 = K @ T_nh1[:3, :3] @ K1i
             # use mid idepth; level-1 coordinates = (x+0.5)/2-0.5
             u1 = (pu_h + 0.5) / 2 - 0.5
             v1 = (pv_h + 0.5) / 2 - 0.5
             id_mid = 0.5 * (idmin_h + np.minimum(idmax_h, 1e3))
             ptp = (np.stack([u1, v1, np.ones_like(u1)], -1) @ KRKi1.T
-                   + (K @ T_nh1[0, :3, 3])[None] * id_mid[:, None])
+                   + (K @ T_nh1[:3, 3])[None] * id_mid[:, None])
             gu = np.clip((ptp[:, 0] / ptp[:, 2] + 0.5).astype(int), 0, w2 - 1)
             gv = np.clip((ptp[:, 1] / ptp[:, 2] + 0.5).astype(int), 0, h2 - 1)
             in_b = (ptp[:, 2] > 0) & (gu > 0) & (gv > 0) & (gu < w2 - 1) & (gv < h2 - 1)
@@ -676,20 +692,12 @@ class FrontEnd:
             drop = valid_h & (
                 (status == immature.IPS_OUTLIER) | (~in_b & (status == immature.IPS_OOB))
             )
-            if want_mask.sum() == 0:
+            ok = act_ok & want_mask
+            if not ok.any():
                 if drop.any():
                     self.immatures[slot] = pts._replace(
                         valid=pts.valid & ~jnp.asarray(drop))
                 continue
-
-            act = immature.activate_points(
-                pts, jnp.int32(slot), images, frame_valid, T_cw_j, aff_j,
-                calib_j, cfg,
-            )
-            act_ok, seg_valid = jax.device_get(
-                (act.ok, self.ba_state.p_valid[slot * self.cfg.ba.max_points_per_frame:
-                                               (slot + 1) * self.cfg.ba.max_points_per_frame]))
-            ok = act_ok & want_mask
             # insert accepted into free entries of the host's pool SEGMENT
             # (the pool is partitioned per host slot: segment s = rows
             # [s*P, (s+1)*P) — keeps host indices block-uniform, which the
@@ -697,8 +705,9 @@ class FrontEnd:
             # FIXED-length batch (padded, valid=False lanes dropped in the
             # scatter) so the insert is ONE jitted dispatch with a single
             # compiled shape regardless of how many points activate.
-            P = self.cfg.ba.max_points_per_frame
-            seg_free = np.nonzero(~seg_valid)[0] + slot * P
+            # Segments are disjoint, so the pool-validity snapshot pulled
+            # before the inserts stays correct for every slot.
+            seg_free = np.nonzero(~pvalid_a[slot * P:(slot + 1) * P])[0] + slot * P
             k = min(len(seg_free), int(ok.sum()))
             if k > 0:
                 src = np.zeros(P, np.int32)
@@ -707,7 +716,7 @@ class FrontEnd:
                 idx[:k] = seg_free[:k]
                 valid = np.arange(P) < k
                 self.ba_state = _insert_candidates(
-                    self.ba_state, pts.u, pts.v, act.idepth, pts.color,
+                    self.ba_state, pts.u, pts.v, acts[slot].idepth, pts.color,
                     pts.weight, jnp.asarray(src), jnp.asarray(idx),
                     jnp.asarray(valid), slot,
                 )
