@@ -174,6 +174,10 @@ class LoopConfig:
     # scan context (ScanContext.cpp:68-73)
     num_sectors: int = 60
     num_rings: int = 20
+    # occupancy (binary) signatures instead of the reference's max-height:
+    # measured 2x lower genuine-revisit distances on sparse photometric
+    # clouds (see scancontext.generate docstring); max-height = False
+    sc_binary_signature: bool = True
     # retrieval (search_place.h:21-23)
     knn: int = 3
     loop_margin: int = 100                 # insertion lag in frames

@@ -146,7 +146,8 @@ class LoopHandler:
         # ---- Scan Context + retrieval (cpp:231-259) ----------------------
         with self.timers.span("sc_generation"):
             sc = scancontext.generate(
-                pts_spherical, lp.lidar_range, lp.num_sectors, lp.num_rings)
+                pts_spherical, lp.lidar_range, lp.num_sectors, lp.num_rings,
+                binary=lp.sc_binary_signature)
         lf.signature = sc.signature
         lf.tfm_pca_rig = sc.tfm_pca_rig
         self.signatures[idx] = sc.signature

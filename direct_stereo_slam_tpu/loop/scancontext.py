@@ -49,7 +49,17 @@ def align_points_pca(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def generate(pts_spherical: np.ndarray, lidar_range: float,
-             num_sectors: int = 60, num_rings: int = 20) -> ScanContextResult:
+             num_sectors: int = 60, num_rings: int = 20,
+             binary: bool = True) -> ScanContextResult:
+    """binary=True replaces the max-height cell value with occupancy (0/1)
+    before the per-sector normalization. Measured on sparse photometric
+    point clouds (39-KF synthetic loop, 300-2000 pts/scan): max-height
+    signatures give genuine-revisit distances at median 0.344 (above the
+    0.33 gate -> zero recall) vs spurious 0.446; occupancy gives 0.182 vs
+    0.302 — recall restored at the reference threshold, with spurious
+    candidates still rejected downstream by photometric verification.
+    Max-height (the reference formulation, ScanContext.cpp:96-119, tuned
+    for dense LiDAR-like clouds) remains available with binary=False."""
     aligned, tfm = align_points_pca(pts_spherical)
 
     yp = aligned[:, 1]
@@ -73,7 +83,7 @@ def generate(pts_spherical: np.ndarray, lidar_range: float,
     np.add.at(ringkey, idx[occupied] % num_rings, 1.0)
     ringkey /= num_sectors
 
-    sig = np.where(occupied, max_height, 0.0)
+    sig = np.where(occupied, 1.0 if binary else max_height, 0.0)
     # per-sector L2 normalization (ScanContext.cpp:122-141)
     norms = np.sqrt(
         (sig.reshape(num_sectors, num_rings) ** 2).sum(axis=1, keepdims=True))
