@@ -136,6 +136,35 @@ class TestPoseGraph:
         moved = np.linalg.norm(T_opt[0][:3, 3] - est[0][:3, 3])
         assert moved > 0.1
 
+    def test_cg_solver_matches_dense(self):
+        """The matrix-free block-Jacobi PCG backend must reproduce the
+        dense solve (same GN trajectory) on a drifted loop chain."""
+        rng = np.random.RandomState(3)
+        n = 40
+        gt, est = [np.eye(4, dtype=np.float32)], [np.eye(4, dtype=np.float32)]
+        for i in range(1, n):
+            ang = 2 * np.pi * i / n
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = 8 * np.sin(ang)
+            T[2, 3] = 8 * (1 - np.cos(ang))
+            gt.append(T)
+            step = np.linalg.inv(gt[i - 1]) @ gt[i]
+            xi = rng.randn(6).astype(np.float32) * np.array(
+                [0.02, 0.005, 0.02, 0.001, 0.004, 0.001], np.float32)
+            D = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+            est.append((est[-1] @ step @ D).astype(np.float32))
+        edges = []
+        for i in range(1, n):
+            Z = np.linalg.inv(est[i]) @ est[i - 1]
+            edges.append((i, i - 1, Z.astype(np.float32), 1.0, 1e4))
+        Z_loop = np.linalg.inv(gt[n - 1]) @ gt[0]
+        edges.append((n - 1, 0, Z_loop.astype(np.float32), 10.0, 1e5))
+        data = pose_graph.build_data(np.stack(est), edges, fixed_node=n - 1)
+        T_dense = np.asarray(pose_graph.optimize(data, 15, solver="dense"))
+        T_cg = np.asarray(pose_graph.optimize(data, 15, solver="cg"))
+        scale = np.abs(T_dense[:, :3, 3]).max()
+        np.testing.assert_allclose(T_cg[:n], T_dense[:n], atol=2e-3 * scale)
+
 
 class TestScanGeneration:
     def test_rolling_cloud_and_range_gate(self):
