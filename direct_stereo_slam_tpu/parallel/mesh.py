@@ -98,6 +98,39 @@ def shard_batched_step(step_fn, mesh: Mesh):
     return jax.jit(sharded)
 
 
+def shard_ba_optimize(cfg: SLAMConfig, mesh: Mesh, iterations: int = 2):
+    """Shard windowed-BA optimization over the 'seq' mesh axis: a batch of
+    B independent BA windows (BAState with a leading batch dim on every
+    leaf) solves as vmap(ba.optimize) inside shard_map — each device owns
+    B/n windows, no collectives on the solve path. This is the keyframe
+    "training step" counterpart of the per-frame tracking step above."""
+    from ..models import ba as ba_mod
+
+    def step(states):
+        def one(st):
+            st2, rmse, ok = ba_mod.optimize(st, cfg, iterations)
+            return st2, rmse, ok
+        return jax.vmap(one)(states)
+
+    spec = P("seq")
+
+    def sharded(states):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.experimental.shard_map import shard_map
+        in_spec = jax.tree_util.tree_map(lambda _: spec, states)
+        fn = shard_map(
+            step, mesh=mesh,
+            in_specs=(in_spec,),
+            out_specs=(in_spec, spec, spec),
+            check_rep=False,
+        )
+        return fn(states)
+
+    return jax.jit(sharded)
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
