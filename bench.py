@@ -34,9 +34,8 @@ def main():
     from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
     from direct_stereo_slam_tpu.models.depth_template import (
         build_template, default_budgets)
-    from direct_stereo_slam_tpu.models.scale_opt import optimize_scale_batch
-    from direct_stereo_slam_tpu.models.tracker import (
-        AffLight, track_candidates_batch)
+    from direct_stereo_slam_tpu.models.scale_opt import optimize_scale_single
+    from direct_stereo_slam_tpu.models.tracker import AffLight, track_candidate
     from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
 
     W, H, LVLS = 1232, 368, 5
@@ -68,33 +67,34 @@ def main():
     one = jnp.float32(1.0)
     # steady-state per-frame path: the constant-motion candidate alone (the
     # frontend's staged try-list only widens the batch on tracking trouble,
-    # mirroring the reference's early exit at FrontEnd.cpp:244-246)
-    T_inits = jnp.stack([jnp.eye(4)] * 1)
-    guesses = jnp.asarray([1.0], jnp.float32)
+    # mirroring the reference's early exit at FrontEnd.cpp:244-246). The
+    # single-candidate program avoids the vmapped batch-of-1 form, whose
+    # batched gathers cost ~1.4x on TPU (same regime note as ops/interp).
+    T_init = jnp.eye(4)
 
     import functools
 
     # jit the WHOLE per-frame program (pyramid build + tracker) — calling
     # build_pyramid untraced costs hundreds of separate dispatches per frame
     @functools.partial(jax.jit, static_argnums=())
-    def frame_step(img, T_inits_):
+    def frame_step(img, T_init_):
         pyr = build_pyramid(img, LVLS)
-        return track_candidates_batch(
-            tuple(pyr.data), tmpl, intr, cfg, T_inits_, zero, zero, one, one)
+        return track_candidate(
+            tuple(pyr.data), tmpl, intr, cfg, T_init_, zero, zero, one, one)
 
     @jax.jit
     def scale_step(img1):
         pyr1 = build_pyramid(img1, LVLS)
-        return optimize_scale_batch(
-            tuple(pyr1.data), tmpl, guesses, intr, intr, t10, cfg)
+        return optimize_scale_single(
+            tuple(pyr1.data), tmpl, intr, intr, t10, cfg, jnp.float32(1.0))
 
     # warmup / compile
-    frame_step(img_new, T_inits).T.block_until_ready()
+    frame_step(img_new, T_init).T.block_until_ready()
     scale_step(img_right).scale.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(N_FRAMES):
-        out = frame_step(img_new, T_inits)
+        out = frame_step(img_new, T_init)
         if i % KF_EVERY == 0:
             so = scale_step(img_right)
     out.T.block_until_ready()

@@ -43,6 +43,7 @@ from .tracker import (
     aff_from_to,
     make_motion_tries,
     select_winner,
+    track_candidate,
     track_candidates_batch,
 )
 
@@ -332,15 +333,28 @@ class FrontEnd:
             thr = self.cfg.tracker.re_track_threshold * self.last_coarse_rmse
 
             def run(batch):
-                r = track_candidates_batch(
-                    tuple(pyr0.data), self.template, self.intr0, self.cfg,
-                    jnp.asarray(batch), aff_init, self.template_ref_aff,
-                    self.template_ref_exposure, jnp.float32(1.0),
-                )
+                if len(batch) == 1:
+                    # steady-state fast path: the single-candidate program
+                    # avoids the vmapped batch-of-1 form (batched gathers
+                    # cost ~1.4x on TPU; see ops/interp regime notes)
+                    r = track_candidate(
+                        tuple(pyr0.data), self.template, self.intr0,
+                        self.cfg, jnp.asarray(batch[0]), aff_init,
+                        self.template_ref_aff, self.template_ref_exposure,
+                        jnp.float32(1.0),
+                    )
+                    lift = lambda x: x[None]
+                else:
+                    r = track_candidates_batch(
+                        tuple(pyr0.data), self.template, self.intr0, self.cfg,
+                        jnp.asarray(batch), aff_init, self.template_ref_aff,
+                        self.template_ref_exposure, jnp.float32(1.0),
+                    )
+                    lift = lambda x: x
                 # one transfer for everything the host needs from the batch
                 r_np = TrackResultNp(*jax.device_get((
-                    r.res_per_level, r.flow, r.T,
-                    jnp.stack([r.aff.a, r.aff.b], -1), r.ok)))
+                    lift(r.res_per_level), lift(r.flow), lift(r.T),
+                    lift(jnp.stack([r.aff.a, r.aff.b], -1)), lift(r.ok))))
                 i, g = select_winner(r_np, self.last_coarse_rmse, self.cfg)
                 return r_np, i, g
 
