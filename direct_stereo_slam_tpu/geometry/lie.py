@@ -109,14 +109,22 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         1.0,
     )
     axis_abs = jnp.sqrt(ratio)
-    # recover signs from off-diagonal sums: sign(axis_i * axis_j) = sign(R_ij + R_ji)
+    # recover signs from off-diagonal sums: sign(axis_i * axis_j) =
+    # sign(R_ij + R_ji). Anchor the positive sign on the LARGEST |axis|
+    # component (as in quaternion-from-matrix recovery) and derive the other
+    # two from its pairwise sums — anchoring on a fixed component breaks
+    # when that component is ~0 (both its pairwise sums vanish and the
+    # remaining components' relative sign is lost, e.g. axis (0, y, -z)).
     s01 = R[..., 0, 1] + R[..., 1, 0]
     s02 = R[..., 0, 2] + R[..., 2, 0]
-    # pick sign of largest component positive, derive others
-    a0 = axis_abs[..., 0]
-    a1 = jnp.where(s01 >= 0, axis_abs[..., 1], -axis_abs[..., 1])
-    a2 = jnp.where(s02 >= 0, axis_abs[..., 2], -axis_abs[..., 2])
-    axis = jnp.stack([a0, a1, a2], axis=-1)
+    s12 = R[..., 1, 2] + R[..., 2, 1]
+    sgn = lambda s: jnp.where(s >= 0, 1.0, -1.0)
+    ax0, ax1, ax2 = axis_abs[..., 0], axis_abs[..., 1], axis_abs[..., 2]
+    anchor0 = jnp.stack([ax0, sgn(s01) * ax1, sgn(s02) * ax2], axis=-1)
+    anchor1 = jnp.stack([sgn(s01) * ax0, ax1, sgn(s12) * ax2], axis=-1)
+    anchor2 = jnp.stack([sgn(s02) * ax0, sgn(s12) * ax1, ax2], axis=-1)
+    k = jnp.argmax(axis_abs, axis=-1)[..., None]
+    axis = jnp.where(k == 0, anchor0, jnp.where(k == 1, anchor1, anchor2))
     # keep direction consistent with antisymmetric part where it is nonzero
     flip = jnp.sum(axis * w, axis=-1) < 0
     axis = jnp.where(flip[..., None], -axis, axis)

@@ -40,7 +40,17 @@ def _lib():
             build_native()
         except Exception as e:  # toolchain missing
             raise NativeUnavailable(f"cannot build native library: {e}")
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # stale or foreign-architecture .so: rebuild once, then give up
+        # gracefully (callers fall back to the pure-Python path)
+        try:
+            os.remove(_SO)
+            build_native()
+            lib = ctypes.CDLL(_SO)
+        except Exception as e:
+            raise NativeUnavailable(f"cannot load native library: {e}")
     lib.pnm_probe.argtypes = [ctypes.c_char_p] + [ctypes.POINTER(ctypes.c_int)] * 3
     lib.pnm_probe.restype = ctypes.c_int
     lib.pnm_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),

@@ -654,8 +654,11 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations: int):
 
     lin0 = linearize(state, cfg)
     e0 = total_energy(state, lin0)
+    # lam seeded from a data-derived zero so the scan carry's vma typing is
+    # equal on both sides under jax.shard_map (no-op otherwise)
+    lam0 = jnp.nan_to_num(e0) * 0.0 + 1e-1
     (state, _, _), _ = jax.lax.scan(
-        body, (state, jnp.float32(1e-1), e0), jnp.arange(iterations)
+        body, (state, lam0, e0), jnp.arange(iterations)
     )
 
     # final linearization: energy / rmse / residual states

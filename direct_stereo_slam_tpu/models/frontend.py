@@ -867,14 +867,24 @@ class FrontEnd:
             st.p_idepth,
         ))
 
-        # dso_error: energy of residuals targeting the frame / count^2
+        # dso_error: energy of residuals targeting the frame / count^2.
+        # A NaN last_dso_error is the sequence-restart marker set by the
+        # runtime (node.py) — the FIRST marginalized KF of a new sequence
+        # must export dso_error=NaN so the loop handler adds no odometry
+        # edge linking unrelated sequences (FrontEndMarginalize.cpp:197-202,
+        # LoopHandler.cpp:119-121); normal computation resumes afterwards.
+        restart = math.isnan(self.last_dso_error)
         tgt = pair_good[:, slot]
         cnt = int(tgt.sum())
         if cnt > 0:
             dso_error = float(pair_e[tgt, slot].sum()) / cnt / cnt
+        elif restart:
+            dso_error = 10e5          # the __init__ default
         else:
             dso_error = 10.0 * self.last_dso_error
         self.last_dso_error = dso_error
+        if restart:
+            dso_error = float("nan")
 
         # export marginalized points (this slot's points that were just
         # folded into the prior) + level colors for the loop handler

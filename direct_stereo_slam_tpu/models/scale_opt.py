@@ -60,7 +60,10 @@ def _optimize_scale_level(
         return repeat, run_pass(scale0, tc.coarse_cutoff_th * repeat)
 
     out0 = run_pass(scale0, jnp.float32(tc.coarse_cutoff_th))
-    repeat, out0 = jax.lax.while_loop(cut_cond, cut_body, (jnp.float32(1.0), out0))
+    # data-derived varying zero: keeps while_loop carry vma types equal under
+    # jax.shard_map (see tracker._track_level); no-op otherwise
+    zv = jnp.nan_to_num(out0.stats.E) * 0.0
+    repeat, out0 = jax.lax.while_loop(cut_cond, cut_body, (zv + 1.0, out0))
     cutoff = tc.coarse_cutoff_th * repeat
 
     # LM loop (cpp:897-942)
@@ -103,9 +106,9 @@ def _optimize_scale_level(
         }
 
     init = {
-        "it": jnp.int32(0), "s": scale0, "H": out0.H, "b": out0.b,
+        "it": jnp.int32(0), "s": scale0 + zv, "H": out0.H, "b": out0.b,
         "E": out0.stats.E, "n": out0.stats.num_terms,
-        "lam": jnp.float32(tc.lambda_init), "done": jnp.bool_(False),
+        "lam": zv + tc.lambda_init, "done": zv > 1.0,
     }
     fin = jax.lax.while_loop(cond, body, init)
     return fin["s"], fin["E"], fin["n"], repeat
@@ -143,16 +146,18 @@ def optimize_scale_single(
         max_it = tc.max_iterations[min(lvl, len(tc.max_iterations) - 1)]
         s, E, n, repeat = _optimize_scale_level(*args, s, max_it, cfg)
 
+        # 0/1-iteration while_loop instead of lax.cond (vma-safe under
+        # jax.shard_map; skips the pass when not needed unbatched)
         need_repeat = (repeat > 1.0) & ~have_repeated
 
-        def do_repeat(s_in):
-            s2, E2, n2, _ = _optimize_scale_level(*args, s_in, max_it, cfg)
-            return s2, E2, n2
+        def rep_body(c):
+            s2, E2, n2, _ = _optimize_scale_level(*args, c[1], max_it, cfg)
+            return (c[0] + 1, s2, E2, n2)
 
-        def no_repeat(s_in):
-            return s_in, E, n
-
-        s, E, n = jax.lax.cond(need_repeat, do_repeat, no_repeat, s)
+        _, s, E, n = jax.lax.while_loop(
+            lambda c: need_repeat & (c[0] < 1), rep_body,
+            (jnp.int32(0), s, E, n),
+        )
         have_repeated = have_repeated | (repeat > 1.0)
 
         if lvl == 0:

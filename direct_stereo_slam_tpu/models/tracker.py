@@ -131,8 +131,15 @@ def _track_level(
         out = run_pass(T0, aff0, tc.coarse_cutoff_th * repeat)
         return repeat, out
 
-    repeat0 = jnp.float32(1.0)
-    out0 = run_pass(T0, aff0, tc.coarse_cutoff_th * repeat0)
+    out0 = run_pass(T0, aff0, tc.coarse_cutoff_th * 1.0)
+    # Data-derived varying zero: under jax.shard_map's varying-manual-axes
+    # typing, constant-initialized while_loop carries (lam/done/flow/repeat)
+    # would be 'unvarying' while the loop body emits 'varying' values. Tying
+    # every carry constant to the residual pass output keeps the types equal
+    # on both sides (and is a no-op outside shard_map). nan_to_num guards a
+    # divergent pass (E=NaN/inf) from poisoning the carries via NaN*0.
+    zv = jnp.nan_to_num(out0.stats.E) * 0.0
+    repeat0 = zv + 1.0
     repeat, out0 = jax.lax.while_loop(cut_cond, cut_body, (repeat0, out0))
     cutoff = tc.coarse_cutoff_th * repeat
 
@@ -184,17 +191,17 @@ def _track_level(
 
     init = {
         "it": jnp.int32(0),
-        "T": T0,
-        "aff_a": aff0.a,
-        "aff_b": aff0.b,
+        "T": T0 + zv,
+        "aff_a": aff0.a + zv,
+        "aff_b": aff0.b + zv,
         "H": out0.H,
         "b": out0.b,
         "E": out0.stats.E,
         "n": out0.stats.num_terms,
-        "flow_t": out0.stats.flow_t,
-        "flow_rt": out0.stats.flow_rt,
-        "lam": jnp.float32(tc.lambda_init),
-        "done": jnp.bool_(False),
+        "flow_t": out0.stats.flow_t + zv,
+        "flow_rt": out0.stats.flow_rt + zv,
+        "lam": zv + tc.lambda_init,
+        "done": zv > 1.0,
     }
     fin = jax.lax.while_loop(lm_cond2, lm_body2, init)
     return (
@@ -244,24 +251,25 @@ def track_candidate(
             *args, T, aff, ref_aff, ref_exposure, new_exposure, max_it, cfg,
             compute_flow=(lvl == 0),
         )
-        # one-shot repeat of this level (cpp:601-604)
+        # one-shot repeat of this level (cpp:601-604), as a 0/1-iteration
+        # while_loop rather than lax.cond: cond's branch-output vma
+        # unification breaks under jax.shard_map, while_loop carries type
+        # cleanly; unbatched it still skips the pass when not needed.
         need_repeat = (repeat > 1.0) & ~have_repeated
 
-        def do_repeat(op):
-            T_, aff_a_, aff_b_ = op
+        def rep_body(c):
+            _, T_, aff_a_, aff_b_, *_rest = c
             T2, aff2, E2, n2, ft2, frt2, _ = _track_level(
                 *args, T_, AffLight(aff_a_, aff_b_), ref_aff, ref_exposure,
                 new_exposure, max_it, cfg, compute_flow=(lvl == 0),
             )
-            return T2, aff2.a, aff2.b, E2, n2, ft2, frt2
+            return (c[0] + 1, T2, aff2.a, aff2.b, E2, n2, ft2, frt2)
 
-        def no_repeat(op):
-            T_, aff_a_, aff_b_ = op
-            return T_, aff_a_, aff_b_, E, n, f_t, f_rt
-
-        T, aff_a, aff_b, E, n, f_t, f_rt = jax.lax.cond(
-            need_repeat, do_repeat, no_repeat, (T, aff.a, aff.b)
+        c0 = (jnp.int32(0), T, aff.a, aff.b, E, n, f_t, f_rt)
+        fin = jax.lax.while_loop(
+            lambda c: need_repeat & (c[0] < 1), rep_body, c0
         )
+        _, T, aff_a, aff_b, E, n, f_t, f_rt = fin
         aff = AffLight(aff_a, aff_b)
         have_repeated = have_repeated | (repeat > 1.0)
 

@@ -59,9 +59,18 @@ def save_frontend(path: str, fe: FrontEnd):
         _save_namedtuple("template", fe.template, arrays)
     for slot, pts in fe.immatures.items():
         _save_namedtuple(f"imm.{slot}", pts, arrays)
+    # per-slot pyramids + the last marginalization mask: without them a
+    # resumed run exports pyr=None for later-marginalized KFs, silently
+    # switching the loop handler onto its ICP-only acceptance branch
+    # (handler.py) — resume would not be behavior-preserving
+    for slot, pyr in fe.pyramids.items():
+        _save_namedtuple(f"pyr.{slot}", pyr, arrays)
+    arrays["last_marg_mask"] = np.asarray(
+        getattr(fe, "_last_marg_mask", np.zeros(fe.pool, bool)))
 
     meta = {
         "immature_slots": sorted(fe.immatures.keys()),
+        "pyramid_slots": sorted(fe.pyramids.keys()),
         "has_template": fe.template is not None,
         "template_kf_slot": fe.template_kf_slot,
         "template_ref_aff": [float(fe.template_ref_aff.a), float(fe.template_ref_aff.b)],
@@ -106,6 +115,14 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
         int(s): _load_namedtuple(f"imm.{s}", immature.ImmaturePoints, arrays)
         for s in meta["immature_slots"]
     }
+    from ..ops.pyramid import Pyramid
+
+    fe.pyramids = {
+        int(s): _load_namedtuple(f"pyr.{s}", Pyramid, arrays)
+        for s in meta.get("pyramid_slots", [])
+    }
+    if "last_marg_mask" in arrays:
+        fe._last_marg_mask = np.asarray(arrays["last_marg_mask"])
     fe.template_kf_slot = meta["template_kf_slot"]
     a, b = meta["template_ref_aff"]
     fe.template_ref_aff = AffLight(jnp.float32(a), jnp.float32(b))

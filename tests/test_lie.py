@@ -36,6 +36,29 @@ def test_so3_log_near_pi():
     np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=1e-3)
 
 
+def test_so3_log_near_pi_zero_component_mixed_signs():
+    """Axis sign recovery near theta=pi must anchor on the largest |axis|
+    component: an axis with a ~0 x-component and mixed-sign y/z used to
+    reconstruct with the wrong relative sign (rotation error ~2.8)."""
+    cases = [
+        np.array([0.0, 1.0, -1.0]),
+        np.array([0.0, -1.0, 1.0]),
+        np.array([1e-5, 0.7, -0.7]),
+        np.array([-1.0, 0.0, 1.0]),
+        np.array([1.0, -1.0, 0.0]),
+        np.array([0.0, 0.0, -1.0]),
+    ]
+    for axis in cases:
+        axis = axis / np.linalg.norm(axis)
+        for eps in (1e-3, 5e-3, 9e-3):
+            w = jnp.array(axis * (np.pi - eps), dtype=jnp.float32)
+            R = lie.so3_exp(w)
+            R2 = lie.so3_exp(lie.so3_log(R))
+            np.testing.assert_allclose(
+                np.asarray(R2), np.asarray(R), atol=2e-3,
+                err_msg=f"axis={axis}, eps={eps}")
+
+
 def test_inverse_compose():
     key = jax.random.PRNGKey(1)
     xi = rand_tangent(key, 0.5)
