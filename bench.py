@@ -1,11 +1,20 @@
-"""Benchmark: stereo tracking + scale-optimization throughput per chip.
+"""Benchmark: stereo tracking + scale-optimization throughput per chip,
+plus the END-TO-END SLAMNode pipeline with a per-stage timing table.
 
-Runs the per-frame hot path (coarse-to-fine LM tracking with the 5-candidate
-motion-model batch, plus the 1-DoF stereo scale optimization amortized at
-the keyframe cadence) at KITTI resolution (1232x368, preset-0 budgets) on
-synthetic frames resident on device, and prints ONE JSON line:
+Two measurements at KITTI resolution (1232x368, preset-0 budgets):
 
-    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/baseline}
+1. hot path — the per-frame program alone (coarse-to-fine LM tracking +
+   amortized 1-DoF stereo scale optimization) on device-resident frames;
+2. e2e — the full ``SLAMNode.process`` loop on a synthetic sequence:
+   real host winner selection, keyframe pipeline (trace / activate /
+   windowed BA / template / scale opt), marginalization and the
+   (synchronous) loop-closure stack, with the per-stage wall-clock table
+   mirroring the reference's shutdown stats (main.cpp:181-201).
+
+Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/baseline,
+     "e2e_fps": N, "e2e_per_frame_ms": N, "stages_ms": {...}}
 
 baseline = 100 FPS, the north-star target from BASELINE.md (>=10x real-time
 per chip; the C++ reference runs roughly realtime, ~10 FPS, on its CPU).
@@ -103,12 +112,79 @@ def main():
 
     fps = N_FRAMES / dt
     baseline = 100.0
+
+    e2e = bench_e2e(jax)
+
     print(json.dumps({
         "metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline, 3),
+        **e2e,
     }))
+
+
+def bench_e2e(jax, n_frames=40):
+    """Full SLAMNode pipeline at KITTI resolution on a synthetic forward
+    sequence. One cold pass (compiles), one warm timed pass. The loop
+    handler runs SYNCHRONOUSLY so its stages land in the same per-frame
+    budget (conservative: the runtime default offloads them to a thread)."""
+    from direct_stereo_slam_tpu.config import make_config
+    from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
+    from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
+    from direct_stereo_slam_tpu.loop.handler import LoopHandler
+    from direct_stereo_slam_tpu.runtime.node import SLAMNode
+    from direct_stereo_slam_tpu.utils.timing import StageTimers
+
+    W, H = 1232, 368
+    ds = SyntheticStereoDataset(n_frames=n_frames, width=W, height=H,
+                                speed=0.4)
+    cfg = make_config(W, H, preset=0, mode=1)
+    K = ds.K
+    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
+                                   cfg.tracker.pyr_levels)
+
+    # pre-render all frames (device arrays; rendering stays untimed)
+    frames = []
+    for i in range(n_frames):
+        f = ds.frame(i)
+        frames.append((f["img0"], f["img1"], float(f["timestamp"])))
+    jax.block_until_ready(frames[-1][0])
+
+    def run():
+        timers = StageTimers()
+        handler = LoopHandler(cfg, intr, timers=timers, threaded=False)
+        node = SLAMNode(cfg, intr, intr, ds.t_cam1_cam0,
+                        loop_handler=handler)
+        node.timers = timers
+        node.frontend.timers = timers
+        t0 = time.perf_counter()
+        for img0, img1, ts in frames:
+            node.process(img0, img1, ts)
+        node.finish()
+        dt = time.perf_counter() - t0
+        return dt, timers
+
+    run()                       # cold: compiles
+    dt, timers = run()          # warm: timed
+
+    stage_names = [
+        "track", "feature_detect", "scale_opt", "dso_opt", "trace",
+        "activate", "template", "point_marg", "frame_marg",
+        "pts_generation", "sc_generation", "search_ringkey", "search_sc",
+        "direct_est", "icp", "pose_graph_opt", "per_frame",
+    ]
+    stages = {
+        n: round(timers.average_ms(n), 3)
+        for n in stage_names if timers.count(n) > 0
+    }
+    e2e_fps = n_frames / dt
+    return {
+        "e2e_fps": round(e2e_fps, 2),
+        "e2e_per_frame_ms": round(1000.0 * dt / n_frames, 3),
+        "e2e_frames": n_frames,
+        "stages_ms": stages,
+    }
 
 
 if __name__ == "__main__":

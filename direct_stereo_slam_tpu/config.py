@@ -211,6 +211,14 @@ class RuntimeConfig:
     multi_threading: bool = True           # loop thread on/off
     # initialization failure RMSE gates (FrontEnd.cpp:778-787)
     init_rmse_gates: Tuple[float, ...] = (25.0, 15.0, 10.0)
+    # bootstrap selection: False = metric single-frame stereo init (the
+    # TPU build's default improvement); True = DSO-parity monocular
+    # CoarseInitializer (FrontEnd.cpp:607-623) — combine with
+    # scale_opt.accept_thres=-1 for full DSO mode
+    mono_initializer: bool = False
+    # give up and restart the mono initializer after this many frames
+    # without a snap (DSO resets after 300; synthetic sequences are short)
+    mono_init_max_frames: int = 40
 
 
 @dataclass(frozen=True)

@@ -49,7 +49,15 @@ class LoopFrame:
 
 class LoopHandler:
     def __init__(self, cfg: SLAMConfig, intr: PyramidIntrinsics,
-                 timers: Optional[StageTimers] = None, threaded: bool = False):
+                 timers: Optional[StageTimers] = None,
+                 threaded: Optional[bool] = None):
+        """``threaded=None`` resolves from cfg.runtime.multi_threading
+        (default True — the reference's loop handler is ALWAYS its own
+        thread, LoopHandler.cpp:53-54, keeping Scan-Context/ICP/PGO work
+        off the tracking thread). Pass threaded=False for deterministic
+        synchronous processing (tests, timing tables)."""
+        if threaded is None:
+            threaded = cfg.runtime.multi_threading
         self.cfg = cfg
         self.intr = intr
         self.timers = timers if timers is not None else StageTimers()

@@ -69,26 +69,16 @@ class NearbyPointCloud:
         key = vx + vy * nx + vz * nx * ny
         key = np.where(ok, key, -1)
 
-        sel_idx = []
-        order = np.argsort(key, kind="stable")
+        # group by voxel, pick the highest point (min y, camera-down) per
+        # group: one stable lexsort by (key asc, height desc) + first-of-
+        # group mask — O(N log N) vectorized, replacing an interpreted
+        # per-point loop that cost O(N) Python bytecode per keyframe
+        heights = -p_local[:, 1]
+        order = np.lexsort((-heights, key))
         ks = key[order]
-        # group by voxel; pick the point with max height (min y, camera-down)
-        heights = -p_local[order, 1]
-        start = 0
-        n = len(ks)
-        while start < n and ks[start] < 0:
-            start += 1
-        i = start
-        while i < n:
-            j = i
-            best = i
-            while j < n and ks[j] == ks[i]:
-                if heights[j] > heights[best]:
-                    best = j
-                j += 1
-            sel_idx.append(order[best])
-            i = j
-        sel_idx = np.asarray(sel_idx, np.int64)
+        first = np.ones(len(ks), bool)
+        first[1:] = ks[1:] != ks[:-1]
+        sel_idx = order[first & (ks >= 0)]
 
         # prune the rolling cloud to the surviving points
         self.pts = self.pts[sel_idx]

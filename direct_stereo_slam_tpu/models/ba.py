@@ -598,14 +598,18 @@ def _step_converged(x: jnp.ndarray, x_d: jnp.ndarray, state: BAState, cfg: SLAMC
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def optimize(state: BAState, cfg: SLAMConfig, iterations: int):
+@partial(jax.jit, static_argnums=(1,))
+def optimize(state: BAState, cfg: SLAMConfig, iterations):
     """The windowed BA loop (FrontEndOptimize.cpp:332-486). LM with an
     energy-based accept/reject (the reference's non-force-accept branch,
     FrontEndOptimize.cpp:427-449): a rejected step restores the backup and
     raises lambda x100. The energy compared includes the marginalization
     prior and state priors, so steps along prior-constrained directions are
     judged correctly.
+
+    ``iterations`` is a TRACED scalar (dynamic while_loop bound): the
+    frontend varies it with window size (20/15/6, FrontEnd.cpp:768-772) and
+    a static bound would compile three separate BA programs.
 
     Returns (state, rmse, energy_finite)."""
 
@@ -620,8 +624,8 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations: int):
 
     force_accept = cfg.ba.solver_force_accept_step
 
-    def body(carry, it):
-        st, lam, e_old = carry
+    def body(carry):
+        st, lam, e_old, it = carry
         lin = linearize(st, cfg)
         x, x_d = solve_step(st, lin, lam, cfg)
         converged = _step_converged(x, x_d, st, cfg)
@@ -630,10 +634,14 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations: int):
             # DSO default: always take the step (lambda still shrinks);
             # skip the extra energy linearization entirely.
             do_apply = (~converged) | (it < cfg.ba.min_opt_iterations)
-            st2 = jax.lax.cond(
-                do_apply, lambda s: s, lambda s: st, st_new
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(do_apply, (1,) * a.ndim) if a.ndim
+                    else do_apply, a, b
+                ),
+                st_new, st,
             )
-            return (st2, lam * 0.25, e_old), None
+            return (st2, lam * 0.25, e_old, it + 1)
         lin_new = linearize(st_new, cfg)
         e_new = total_energy(st_new, lin_new)
         # guard against the outlier-plateau escape: saturated residuals
@@ -650,15 +658,17 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations: int):
         )
         lam2 = jnp.where(accept, lam * 0.25, jnp.minimum(lam * 100.0, 1e4))
         e2 = jnp.where(accept, e_new, e_old)
-        return (st2, lam2, e2), None
+        return (st2, lam2, e2, it + 1)
 
     lin0 = linearize(state, cfg)
     e0 = total_energy(state, lin0)
-    # lam seeded from a data-derived zero so the scan carry's vma typing is
+    # lam seeded from a data-derived zero so the while carry's vma typing is
     # equal on both sides under jax.shard_map (no-op otherwise)
     lam0 = jnp.nan_to_num(e0) * 0.0 + 1e-1
-    (state, _, _), _ = jax.lax.scan(
-        body, (state, lam0, e0), jnp.arange(iterations)
+    n_it = jnp.asarray(iterations, jnp.int32)
+    state, _, _, _ = jax.lax.while_loop(
+        lambda c: c[3] < n_it, body,
+        (state, lam0, e0, jnp.int32(0)),
     )
 
     # final linearization: energy / rmse / residual states

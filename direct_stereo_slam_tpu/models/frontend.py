@@ -32,6 +32,7 @@ from ..config import SLAMConfig
 from ..geometry import lie
 from ..geometry.camera import PyramidIntrinsics
 from ..ops.distance_map import build_distance_map
+from ..ops.interp import bilinear_gather
 from ..ops.pyramid import Pyramid, build_pyramid
 from ..ops.select import adapt_potential, make_selection_map
 from ..utils.timing import StageTimers
@@ -177,6 +178,11 @@ class FrontEnd:
         self.marginalized_queue: List[MarginalizedKF] = []
         self.timers = timers if timers is not None else StageTimers()
 
+        # monocular bootstrap state (cfg.runtime.mono_initializer)
+        self.mono_state = None
+        self._mono_first_pyr: Optional[Pyramid] = None
+        self._mono_frames = 0
+
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
@@ -227,9 +233,12 @@ class FrontEnd:
 
         if not self.initialized:
             shell = self._initialize(pyr0, img1, incoming_id, timestamp)
-            return shell
-
-        shell = self._track_frame(pyr0, incoming_id, timestamp)
+            if not self.initialized or getattr(shell, "_flow", None) is None:
+                return shell
+            # mono init just completed AND tracked the current frame: fall
+            # through so it gets the keyframe decision like any other frame
+        else:
+            shell = self._track_frame(pyr0, incoming_id, timestamp)
         if self.is_lost:
             return shell
 
@@ -245,6 +254,8 @@ class FrontEnd:
     # ------------------------------------------------------------------
 
     def _initialize(self, pyr0: Pyramid, img1, incoming_id, timestamp) -> FrameShell:
+        if self.cfg.runtime.mono_initializer:
+            return self._initialize_mono(pyr0, incoming_id, timestamp)
         pyr1 = build_pyramid(img1, self.levels)
         res = initializer.initialize_from_stereo(
             pyr0, pyr1, self.intr0, self.t_cam1_cam0, self.cfg,
@@ -295,6 +306,110 @@ class FrontEnd:
         self._make_new_traces(slot, pyr0)
         self._build_template(slot, pyr0)
         self.initialized = True
+        return shell
+
+    def _initialize_mono(self, pyr0: Pyramid, incoming_id, timestamp) -> FrameShell:
+        """DSO-parity monocular bootstrap (FrontEnd.cpp:607-623, 842-934):
+        CoarseInitializer setFirst/trackFrame until snapped+5, then promote
+        the FIRST frame to keyframe 0 with the converged (mean-idepth-1
+        rescaled) point field. The right camera is never touched — metric
+        scale arrives later from the stereo scale optimizer (or never, in
+        pure DSO mode with scale_opt.accept_thres = -1)."""
+        from . import mono_init
+
+        if self.mono_state is None:
+            self.mono_state = mono_init.create(
+                pyr0, self.cfg, budget=self.cfg.ba.max_immature_per_frame,
+                pot=self.pot)
+            self._mono_first_pyr = pyr0
+            self._mono_frames = 0
+            shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
+                               np.zeros(2, np.float32))
+            self.all_frames.append(shell)
+            self._mono_first_shell = shell
+            return shell
+
+        self.mono_state = mono_init.track_frame(
+            self.mono_state, tuple(pyr0.data), self.intr0, self.cfg)
+        self._mono_frames += 1
+        if not mono_init.is_done(self.mono_state):
+            if self._mono_frames > self.cfg.runtime.mono_init_max_frames:
+                # restart from the current frame (DSO resets a stale
+                # initializer rather than grinding on a dead baseline)
+                self.mono_state = mono_init.create(
+                    pyr0, self.cfg,
+                    budget=self.cfg.ba.max_immature_per_frame, pot=self.pot)
+                self._mono_first_pyr = pyr0
+                self._mono_frames = 0
+                shell = FrameShell(incoming_id, timestamp,
+                                   self.cur_pose.copy(),
+                                   np.zeros(2, np.float32))
+                self.all_frames.append(shell)
+                self._mono_first_shell = shell
+                return shell
+            shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
+                               np.zeros(2, np.float32))
+            self.all_frames.append(shell)
+            return shell
+
+        # ---- snapped: first frame becomes keyframe 0 ----------------------
+        u, v, idepth, T_first_new, _rescale = mono_init.to_points(self.mono_state)
+        if len(u) < 8:
+            # degenerate convergence: restart from the current frame
+            self.mono_state = None
+            self._mono_first_pyr = None
+            shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
+                               np.zeros(2, np.float32))
+            self.all_frames.append(shell)
+            return shell
+        first_pyr = self._mono_first_pyr
+        slot = 0
+        T_cw = np.linalg.inv(self.cur_pose).astype(np.float32)
+        self.ba_state = ba.add_frame(
+            self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2), 1.0,
+            first_pyr.data[0],
+        )
+        # pattern colors + gradient weights at the converged points
+        # (ImmaturePoint-ctor equivalents; FrontEnd.cpp:884-893)
+        P = self.cfg.ba.max_points_per_frame
+        keep_frac = min(1.0, self.cfg.ba.desired_point_density / max(len(u), 1))
+        rng = np.random.RandomState(0)
+        keep = rng.rand(len(u)) < keep_frac
+        k = min(P, int(keep.sum()))
+        src = np.zeros(P, np.int32)
+        src[:k] = np.nonzero(keep)[0][:k]
+        pvalid = np.arange(P) < k
+        uu = jnp.asarray(u[src], jnp.float32)
+        vv = jnp.asarray(v[src], jnp.float32)
+        pu8, pv8 = ba._pattern_uv(uu, vv)
+        hit = bilinear_gather(first_pyr.data[0], pu8, pv8)     # [P, 8, 3]
+        color = hit[..., 0]
+        g2 = hit[..., 1] ** 2 + hit[..., 2] ** 2
+        weight = jnp.sqrt(2500.0 / (2500.0 + g2))
+        self.ba_state = ba.add_points(
+            self.ba_state, jnp.arange(P), slot, uu, vv,
+            jnp.asarray(idepth[src], jnp.float32), color, weight,
+            jnp.asarray(pvalid),
+            prior=jnp.full((P,), self.cfg.ba.idepth_fix_prior, jnp.float32),
+        )
+        self.slot_stats[slot] = {"out": 0, "marg": 0}
+        self.pyramids[slot] = first_pyr
+        first_shell = self._mono_first_shell
+        first_shell.is_kf = True
+        first_shell.tracking_ref_kf = self.num_kfs
+        self.kf_shells.append(first_shell)
+        self.num_kfs += 1
+
+        self._make_new_traces(slot, first_pyr)
+        self._build_template(slot, first_pyr)
+        self.initialized = True
+        self.mono_state = None
+        self._mono_first_pyr = None
+
+        # the CURRENT frame then goes through the normal tracking path
+        # (DSO delivers it to makeKeyFrame; here the KF decision fires
+        # naturally on the init parallax)
+        shell = self._track_frame(pyr0, incoming_id, timestamp)
         return shell
 
     # ------------------------------------------------------------------

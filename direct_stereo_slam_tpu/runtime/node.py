@@ -99,6 +99,7 @@ class SLAMNode:
                     self.frontend.marginalized_queue.pop(0))
         rows = []
         if self.loop_handler is not None:
+            self.loop_handler.join()     # drain the async queue (threaded)
             rows = self.loop_handler.odometry_rows()
         return rows
 

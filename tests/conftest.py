@@ -7,6 +7,10 @@ the env var alone is not enough — jax.config must be updated post-import.
 
 import os
 
+# silence the cpu_aot_loader machine-feature E-spam on every persistent
+# cache load (the +prefer-no-gather pseudo-feature mismatch is cosmetic)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -21,6 +25,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/dsslam_jax_cache_cpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # the suite compiles MANY ~1s programs (per-level kernels, bucketed BA
+    # shapes); a 2s threshold left most of them uncached and the cold suite
+    # at >10 min — cache everything non-trivial
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 except Exception:
     pass

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from direct_stereo_slam_tpu.utils.calib import (
     build_rectified_camera,
@@ -12,6 +13,8 @@ from direct_stereo_slam_tpu.io.synthetic import (
     kitti_like_intrinsics,
     render,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def _write(tmp_path, name, text):

@@ -3,9 +3,12 @@ equivalence with the XLA stencil (the kernel runs in interpret mode on CPU
 so its logic is covered without a chip)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from direct_stereo_slam_tpu.ops.distance_map import MAX_DIST, build_distance_map
+
+pytestmark = pytest.mark.smoke
 
 
 def _brute_force(pu, pv, mask, h2, w2):

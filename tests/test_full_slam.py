@@ -56,7 +56,7 @@ def test_full_slam_synthetic_loop(tmp_path):
     )
     K = ds.K
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H, LVLS)
-    handler = LoopHandler(cfg, intr)
+    handler = LoopHandler(cfg, intr, threaded=False)
     node = SLAMNode(cfg, intr, intr, ds.t_cam1_cam0, loop_handler=handler)
 
     for f in ds:

@@ -5,6 +5,8 @@ import pytest
 
 from direct_stereo_slam_tpu.geometry import lie
 
+pytestmark = pytest.mark.smoke
+
 
 def rand_tangent(key, scale=1.0, n=()):
     return jax.random.normal(key, n + (6,)) * scale

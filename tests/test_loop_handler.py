@@ -97,7 +97,7 @@ def make_loop_stream(drift_per_step=0.012, seed=0):
 
 def test_loop_detected_and_corrected():
     cfg, intr, stream, gt, est = make_loop_stream()
-    handler = LoopHandler(cfg, intr)
+    handler = LoopHandler(cfg, intr, threaded=False)
     for mkf in stream:
         handler.publish_keyframe(mkf)
 
@@ -132,7 +132,7 @@ def test_threaded_handler_matches_sync():
     thread, LoopHandler.cpp:93-141) must produce the same loops and the
     same optimized trajectory as synchronous processing."""
     cfg, intr, stream, gt, est = make_loop_stream()
-    sync = LoopHandler(cfg, intr)
+    sync = LoopHandler(cfg, intr, threaded=False)
     for mkf in stream:
         sync.publish_keyframe(mkf)
 
@@ -154,7 +154,7 @@ def test_loop_disabled_when_scale_failed():
     cfg, intr, stream, gt, est = make_loop_stream()
     for mkf in stream:
         mkf.scale_error = -1.0   # scale opt failed -> LC bypassed
-    handler = LoopHandler(cfg, intr)
+    handler = LoopHandler(cfg, intr, threaded=False)
     for mkf in stream:
         handler.publish_keyframe(mkf)
     assert handler.direct_loop_count + handler.icp_loop_count == 0

@@ -33,7 +33,11 @@ def test_mono_init_recovers_structure():
     f0 = ds.frame(0)
     pyr0 = build_pyramid(f0["img0"], LVLS)
     st = mono_init.create(pyr0, cfg, budget=512)
-    assert int(jnp.sum(st.valid)) > 100
+    assert st.levels == LVLS
+    assert int(jnp.sum(st.valid[0])) > 100
+    # every level of the hierarchy must carry live points
+    for lvl in range(LVLS):
+        assert int(jnp.sum(st.valid[lvl])) > 16, lvl
 
     done = False
     for i in range(1, 15):

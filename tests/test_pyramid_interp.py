@@ -1,8 +1,11 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
 from direct_stereo_slam_tpu.ops.interp import bilinear_gather, bilinear_gather_scalar
+
+pytestmark = pytest.mark.smoke
 
 
 def test_pyramid_shapes():

@@ -5,6 +5,7 @@ autodiff finite-difference')."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from direct_stereo_slam_tpu.geometry import lie
 from direct_stereo_slam_tpu.ops.interp import bilinear_gather
@@ -14,6 +15,8 @@ from direct_stereo_slam_tpu.ops.residual_hb import (
     pose3d_residual_pass,
     scale_residual_pass,
 )
+
+pytestmark = pytest.mark.smoke
 
 W, H = 96, 64
 FX, FY, CX, CY = 80.0, 80.0, W / 2 - 0.5, H / 2 - 0.5

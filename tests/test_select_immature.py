@@ -2,12 +2,15 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from direct_stereo_slam_tpu.config import make_config
 from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
 from direct_stereo_slam_tpu.models import immature
 from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
 from direct_stereo_slam_tpu.ops.select import adapt_potential, make_selection_map
+
+pytestmark = pytest.mark.smoke
 
 W, H = 320, 96
 
