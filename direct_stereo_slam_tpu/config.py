@@ -219,6 +219,14 @@ class RuntimeConfig:
     # give up and restart the mono initializer after this many frames
     # without a snap (DSO resets after 300; synthetic sequences are short)
     mono_init_max_frames: int = 40
+    # live HTML viewer (viz/live.py; the Pangolin-GUI equivalent): path of
+    # the self-refreshing live.html, "" = disabled
+    live_view_path: str = ""
+    # per-keyframe debug image dumps (viz/debug.py; TAS.cpp:338-449
+    # idepth jets), "" = disabled
+    debug_dump_dir: str = ""
+    # goStepByStep (FrontEnd.cpp:689-700): wait for Enter between frames
+    step_by_step: bool = False
 
 
 @dataclass(frozen=True)

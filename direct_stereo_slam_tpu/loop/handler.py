@@ -70,6 +70,8 @@ class LoopHandler:
         self.icp_loop_count = 0
         self.cur_id = -1
 
+        self.viewer = None            # optional LiveViewer (set by SLAMNode)
+
         self.threaded = threaded
         if threaded:
             self._q: "queue.Queue[MarginalizedKF]" = queue.Queue()
@@ -138,6 +140,10 @@ class LoopHandler:
         idx = len(self.frames)
         self.frames.append(lf)
         self.signatures.append(np.zeros(lp.num_sectors * lp.num_rings))
+
+        if self.viewer is not None:
+            # final-only KF publish (PangolinLoopViewer.cpp:151-175)
+            self.viewer.publish_keyframe(mkf.kf_id, lf.T_wc, mkf.pts_cam)
 
         # odometry edge to the previous keyframe (cpp:214-222); NaN dso_error
         # marks a sequence restart -> no constraint (cpp:119-121)
@@ -252,9 +258,20 @@ class LoopHandler:
         w_r = self.cfg.loop.pose_r_weight / max(pose_error, 1e-12)
         lf.edges.append((match_idx, tfm_cur_matched, w_t, w_r))
 
+        if self.viewer is not None:
+            # green current / red matched scan pair (refreshLidarData)
+            m_in_cur = matched.pts_spherical @ tfm_cur_matched[:3, :3].T \
+                + tfm_cur_matched[:3, 3]
+            self.viewer.refresh_lidar_data(pts_spherical, m_in_cur)
+
         # ---- pose-graph optimization (cpp:314-329) ------------------------
         with self.timers.span("pose_graph_opt"):
             self._optimize()
+        if self.viewer is not None:
+            self.viewer.modify_keyframe_poses(
+                {f.kf_id: f.T_wc for f in self.frames},
+                loop_pair=(lf.kf_id, matched.kf_id),
+                n_direct=self.direct_loop_count, n_icp=self.icp_loop_count)
 
     # ------------------------------------------------------------------
 

@@ -33,7 +33,7 @@ from ..geometry import lie
 from ..geometry.camera import PyramidIntrinsics
 from ..ops.distance_map import build_distance_map
 from ..ops.interp import bilinear_gather
-from ..ops.pyramid import Pyramid, build_pyramid
+from ..ops.pyramid import Pyramid, build_pyramid_jit as build_pyramid
 from ..ops.select import adapt_potential, make_selection_map
 from ..utils.timing import StageTimers
 from . import ba, immature, initializer
@@ -44,7 +44,7 @@ from .tracker import (
     aff_from_to,
     make_motion_tries,
     select_winner,
-    track_candidate,
+    track_candidate_jit,
     track_candidates_batch,
 )
 
@@ -452,7 +452,7 @@ class FrontEnd:
                     # steady-state fast path: the single-candidate program
                     # avoids the vmapped batch-of-1 form (batched gathers
                     # cost ~1.4x on TPU; see ops/interp regime notes)
-                    r = track_candidate(
+                    r = track_candidate_jit(
                         tuple(pyr0.data), self.template, self.intr0,
                         self.cfg, jnp.asarray(batch[0]), aff_init,
                         self.template_ref_aff, self.template_ref_exposure,

@@ -45,6 +45,15 @@ class SLAMNode:
         self.incoming_id = 0
         self.current_timestamp = -1.0
 
+        # live viewer + debug observability (PangolinLoopViewer /
+        # goStepByStep / idepth-jet equivalents; cfg.runtime flags)
+        self.viewer = None
+        if cfg.runtime.live_view_path:
+            from ..viz.live import LiveViewer
+            self.viewer = LiveViewer(cfg.runtime.live_view_path)
+            if self.loop_handler is not None:
+                self.loop_handler.viewer = self.viewer
+
     def process(self, img0, img1, timestamp: float):
         """One synced stereo pair (imageMessageCallback, main.cpp:212-265)."""
         # new-sequence detection
@@ -81,6 +90,22 @@ class SLAMNode:
                 img0, img1, self.incoming_id, timestamp
             )
         self.incoming_id += 1
+
+        if self.viewer is not None:
+            self.viewer.publish_cam_pose(shell.T_wc)
+        rt = self.cfg.runtime
+        if rt.debug_dump_dir and shell.is_kf and \
+                self.frontend.template is not None:
+            from ..viz.debug import dump_template_idepth
+            slot = self.frontend.template_kf_slot
+            dump_template_idepth(
+                rt.debug_dump_dir, self.frontend.num_kfs - 1,
+                self.frontend.template,
+                self.frontend.pyramids.get(slot))
+        if rt.step_by_step:
+            # goStepByStep (FrontEnd.cpp:689-700): block until Enter
+            input(f"[step] frame {self.incoming_id - 1} "
+                  f"kf={shell.is_kf} — Enter to continue ")
 
         # hand marginalized KFs to the loop handler
         if self.loop_handler is not None:

@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--levels", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default="./slam_out")
+    ap.add_argument("--live", action="store_true",
+                    help="write a self-refreshing <out>/live.html viewer "
+                    "(trajectory + cloud + matched scans; open in a browser)")
+    ap.add_argument("--debug-dir", default=None,
+                    help="dump per-KF idepth jet images here")
+    ap.add_argument("--step", action="store_true",
+                    help="goStepByStep: wait for Enter between frames")
     args = ap.parse_args()
 
     import jax
@@ -114,6 +121,12 @@ def main():
         import dataclasses
         cfg = cfg.replace(loop=dataclasses.replace(
             cfg.loop, loop_margin=args.loop_margin))
+    import dataclasses as _dc
+    cfg = cfg.replace(runtime=_dc.replace(
+        cfg.runtime,
+        live_view_path=os.path.join(args.out, "live.html") if args.live else "",
+        debug_dump_dir=args.debug_dir or "",
+        step_by_step=args.step))
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], w, h, levels)
 
     handler = LoopHandler(cfg, intr)
