@@ -291,13 +291,13 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     hw = jnp.where(abs_r < huber, 1.0, huber / jnp.maximum(abs_r, 1e-12))
 
     # validity masks ------------------------------------------------------
+    # (any pool row may host for any slot: the assembly below groups by
+    # p_host with a one-hot projection, so the pool is one shared budget —
+    # a well-textured KF can overflow past its P-row segment instead of
+    # starving while other segments sit empty; VERDICT r1 item 8)
     t_idx = jnp.arange(W)[None, :]
-    # pool-segmentation invariant: point i must be hosted by slot i // P
-    # (the block-factored Hessian assembly places host columns by segment)
-    seg_idx = (jnp.arange(NP, dtype=jnp.int32) * W) // NP
     pair_mask = (
         state.p_valid[:, None]
-        & (h_idx == seg_idx)[:, None]
         & state.frame_valid[None, :]
         & (t_idx != h_idx[:, None])
         & state.p_res_good
@@ -391,23 +391,21 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     Jb_h = a_th[..., None] * jnp.ones_like(Ja_t)
 
     # ---- assemble H/b: block-factored form --------------------------------
-    # The point pool is segmented by host slot (segment s hosts rows
-    # [s*P, (s+1)*P)), so every (host-segment, target) block shares one
-    # 20->D column placement. Instead of materializing dense rows
-    # [R, D] (~71 MB at production scale) and one big matmul, compute tiny
-    # per-block 20x20 Hessians and project them: H = sum_st B_st^T H20 B_st.
+    # Every (host s, target t) block shares one 20->D column placement.
+    # Instead of materializing dense rows [R, D] (~71 MB at production
+    # scale) and one big matmul, compute tiny per-(s,t) 20x20 Hessians and
+    # project them: H = sum_st B_st^T H20 B_st. Points are grouped by their
+    # ACTUAL p_host through a one-hot [NP, S] projection (not by pool
+    # segment), so any row may host for any slot — the one-hot contraction
+    # costs S x the segmented reshape on the 20x20 stage, which is sub-ms
+    # on the MXU at production scale (4096 x 8 x 8 x 400 FLOP-pairs).
     w_pix = jnp.where(is_good[..., None] & pix_ok, hw * wp * wp, 0.0)  # [NP,W,8]
 
     J20 = jnp.concatenate(
         [Jcalib, Jh, Ja_h[..., None], Jb_h[..., None],
          Jt, Ja_t[..., None], Jb_t[..., None]], axis=-1)           # [NP, W, 8, 20]
-    S = W  # segments == slots
-    P = NP // S
-    assert S * P == NP, "point pool must be partitioned per host slot"
-    J20s = J20.reshape(S, P, W, 8, 20)
-    wps = w_pix.reshape(S, P, W, 8)
-    rs = residual.reshape(S, P, W, 8)
-    Jds = Jd.reshape(S, P, W, 8)
+    S = W  # host groups == slots
+    onehot = jax.nn.one_hot(h_idx, S, dtype=jnp.float32)           # [NP, S]
 
     # placement matrices B[s, t] : [20, D]; cols: calib 0:4, host 4+8s,
     # target 4+8t (static, built in numpy at trace time)
@@ -419,14 +417,16 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
             B[s_, t_, 12:20, 4 + 8 * t_: 12 + 8 * t_] += np.eye(8)
     B = jnp.asarray(B)
 
-    H20 = jnp.einsum("spwki,spwk,spwkj->swij", J20s, wps, J20s, precision=_HI)
-    b20 = jnp.einsum("spwki,spwk,spwk->swi", J20s, wps, rs, precision=_HI)
+    H20 = jnp.einsum("ps,pwki,pwk,pwkj->swij", onehot, J20, w_pix, J20,
+                     precision=_HI)
+    b20 = jnp.einsum("ps,pwki,pwk,pwk->swi", onehot, J20, w_pix, residual,
+                     precision=_HI)
     Hff = jnp.einsum("swia,swij,swjb->ab", B, H20, B, precision=_HI)
     bf = jnp.einsum("swia,swi->a", B, b20, precision=_HI)
 
-    # Schur blocks grouped by point
-    G20 = jnp.einsum("spwki,spwk,spwk->spwi", J20s, wps, Jds, precision=_HI)
-    Hfd = jnp.einsum("spwi,swia->spa", G20, B, precision=_HI).reshape(NP, D)
+    # Schur blocks grouped by point (host placement via the same one-hot)
+    G20 = jnp.einsum("pwki,pwk,pwk->pwi", J20, w_pix, Jd, precision=_HI)
+    Hfd = jnp.einsum("pwi,ps,swia->pa", G20, onehot, B, precision=_HI)
     Hdd = jnp.einsum("ptk,ptk,ptk->p", w_pix, Jd, Jd, precision=_HI)
     bd = jnp.einsum("ptk,ptk,ptk->p", w_pix, Jd, residual, precision=_HI)
 
@@ -821,13 +821,58 @@ def marginalize_frame(state: BAState, slot: jnp.ndarray):
 @jax.jit
 def current_views(state: BAState):
     """(T_current [W,4,4], aff_current [W,2], calib_current [4],
-    frame_valid [W], frame_id [W]) in ONE compiled dispatch. Host
-    orchestration should call this (and pull the tuple with a single
-    jax.device_get) instead of the eager BAState methods: eager se3_exp
-    is dozens of dispatches, each a network round trip on a
-    remote-attached TPU."""
+    frame_valid [W], frame_id [W], p_valid [NP], p_host [NP]) in ONE
+    compiled dispatch. Host orchestration should call this (and pull the
+    tuple with a single jax.device_get) instead of the eager BAState
+    methods: on a remote-attached TPU one tuple pull costs one ~27 ms RTT
+    regardless of content, while every separate pull pays the full RTT
+    again — bundling is the entire game (measured: tuple-of-10 fresh
+    arrays 27 ms, ten separate pulls 268 ms)."""
     return (state.T_current(), state.aff_current(), state.calib_current(),
-            state.frame_valid, state.frame_id)
+            state.frame_valid, state.frame_id, state.p_valid, state.p_host)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def optimize_keyframe(state: BAState, cfg: SLAMConfig, iterations,
+                      newest_slot):
+    """Fused keyframe BA step: optimize -> percentile energy threshold for
+    the newest frame -> FEJ reset -> drop residual-less points, all in ONE
+    dispatch chain so the host pulls (rmse, ok) once instead of syncing
+    between four programs (the stages mirror FrontEnd.cpp:773-798)."""
+    state, rmse, ok = optimize(state, cfg, iterations)
+    state = set_new_frame_energy_th(state, jnp.int32(newest_slot), cfg)
+    state = reset_fej_newest(state, jnp.int32(newest_slot))
+    no_res = ~jnp.any(state.p_res_good & state.p_valid[:, None], axis=1)
+    state = state._replace(p_valid=state.p_valid & ~no_res)
+    return state, rmse, ok
+
+
+@partial(jax.jit, static_argnums=(1,))
+def template_inputs(state: BAState, cfg: SLAMConfig, ref_slot):
+    """Device-side makeCoarseDepthL0 input prep: project every window
+    point into the reference KF and weight by the BA idepth hessian
+    (TAS.cpp:143-176) — no host pull on the template path."""
+    lin = linearize(state, cfg)
+    fx0, fy0, cx0, cy0 = state.calib_current()
+    T_all = state.T_current()                      # [W, 4, 4] worldToCam
+    T_ref = T_all[ref_slot]
+    T_rh = jnp.einsum("ij,hjk->hik", T_ref,
+                      jnp.linalg.inv(T_all), precision=_HI)
+    Xh = jnp.stack([
+        (state.p_u - cx0) / fx0,
+        (state.p_v - cy0) / fy0,
+        jnp.ones_like(state.p_u),
+    ], -1) / jnp.maximum(state.p_idepth, 1e-6)[:, None]
+    R = T_rh[state.p_host, :3, :3]
+    t = T_rh[state.p_host, :3, 3]
+    pt = jnp.einsum("pij,pj->pi", R, Xh, precision=_HI) + t
+    proj_u = fx0 * pt[:, 0] / pt[:, 2] + cx0
+    proj_v = fy0 * pt[:, 1] / pt[:, 2] + cy0
+    new_id = 1.0 / jnp.maximum(pt[:, 2], 1e-6)
+    valid = state.p_valid & (pt[:, 2] > 0)
+    # weight = sqrt(1e-3 / HdiF) = sqrt(1e-3 * Hdd) (TAS.cpp:158)
+    w = jnp.sqrt(1e-3 * jnp.maximum(lin.Hdd, 1e-9))
+    return proj_u, proj_v, new_id, w, valid
 
 
 @jax.jit

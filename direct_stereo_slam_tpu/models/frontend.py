@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -38,12 +39,18 @@ from ..ops.select import adapt_potential, make_selection_map
 from ..utils.timing import StageTimers
 from . import ba, immature, initializer
 from .depth_template import TrackerTemplate, build_template, default_budgets, scale_template_idepth
-from .scale_opt import ScaleState, run_scale_optimization
+from .scale_opt import (
+    ScaleState,
+    decide_scale_optimization,
+    dispatch_scale_optimization,
+    run_scale_optimization,
+)
 from .tracker import (
     AffLight,
     aff_from_to,
     make_motion_tries,
     select_winner,
+    select_winner_serial,
     track_candidate_jit,
     track_candidates_batch,
 )
@@ -61,6 +68,54 @@ def _insert_candidates(state, pu, pv, idepth, color, weight, src, idx,
         state, idx, host_slot,
         pu[src], pv[src], idepth[src], color[src], weight[src], valid,
     )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _halfres_distance_map(state, new_slot, K1, h2, w2):
+    """Project every active point into the new KF at half resolution and
+    build the activation distance map — all on device (the host version
+    cost two pulls per keyframe on a remote-attached chip)."""
+    fx0, fy0, cx0, cy0 = state.calib_current()
+    T_all = state.T_current()
+    T_cw_new = T_all[new_slot]
+    T_nh = jnp.einsum("ij,hjk->hik", T_cw_new, jnp.linalg.inv(T_all),
+                      precision=_HI)
+    Xh = jnp.stack([
+        (state.p_u - cx0) / fx0,
+        (state.p_v - cy0) / fy0,
+        jnp.ones_like(state.p_u),
+    ], -1) / jnp.maximum(state.p_idepth, 1e-6)[:, None]
+    R = T_nh[state.p_host, :3, :3]
+    t = T_nh[state.p_host, :3, 3]
+    pt = jnp.einsum("pij,pj->pi", R, Xh, precision=_HI) + t
+    pu2 = K1[0, 0] * pt[:, 0] / pt[:, 2] + K1[0, 2]
+    pv2 = K1[1, 1] * pt[:, 1] / pt[:, 2] + K1[1, 2]
+    proj_ok = state.p_valid & (pt[:, 2] > 0)
+    return build_distance_map(pu2, pv2, proj_ok, h2, w2)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _gate_candidates(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
+                     cfg, w2, h2):
+    """Device-side activation gate (FrontEnd.cpp:374-443): project each
+    candidate into the new KF at half res with its mid idepth, look up the
+    distance map, and emit (ok, drop) masks — one pull for all slots."""
+    can = immature.can_activate(pts, cfg)
+    u1 = (pts.u + 0.5) / 2.0 - 0.5
+    v1 = (pts.v + 0.5) / 2.0 - 0.5
+    id_mid = 0.5 * (pts.idepth_min + jnp.minimum(pts.idepth_max, 1e3))
+    xyz = jnp.stack([u1, v1, jnp.ones_like(u1)], -1)
+    ptp = jnp.matmul(xyz, KRKi1.T, precision=_HI) + Kt1[None] * id_mid[:, None]
+    z = ptp[:, 2]
+    gu = jnp.clip(jnp.floor(ptp[:, 0] / z + 0.5).astype(jnp.int32), 0, w2 - 1)
+    gv = jnp.clip(jnp.floor(ptp[:, 1] / z + 0.5).astype(jnp.int32), 0, h2 - 1)
+    in_b = (z > 0) & (gu > 0) & (gv > 0) & (gu < w2 - 1) & (gv < h2 - 1)
+    gate = dist_map[gv, gu] >= min_act_dist * pts.my_type
+    ok = act_ok & can & in_b & gate
+    drop = pts.valid & (
+        (pts.status == immature.IPS_OUTLIER)
+        | (~in_b & (pts.status == immature.IPS_OOB)))
+    return ok, drop
 
 
 @jax.jit
@@ -195,12 +250,14 @@ class FrontEnd:
         raise RuntimeError("no free keyframe slot")
 
     def _newest_slot(self) -> int:
-        _, _, _, valid, fid = self._views_np()
+        views = self._views_np()
+        valid, fid = views[3], views[4]
         fid = np.where(valid, fid, -1)
         return int(np.argmax(fid))
 
     def _active_slots(self) -> List[int]:
-        _, _, _, valid, fid = self._views_np()
+        views = self._views_np()
+        valid, fid = views[3], views[4]
         slots = [i for i in range(self.n_slots) if valid[i]]
         return sorted(slots, key=lambda s: fid[s])
 
@@ -447,7 +504,7 @@ class FrontEnd:
             # only run on tracking trouble.
             thr = self.cfg.tracker.re_track_threshold * self.last_coarse_rmse
 
-            def run(batch):
+            def run(batch, selector=select_winner):
                 if len(batch) == 1:
                     # steady-state fast path: the single-candidate program
                     # avoids the vmapped batch-of-1 form (batched gathers
@@ -470,20 +527,28 @@ class FrontEnd:
                 r_np = TrackResultNp(*jax.device_get((
                     lift(r.res_per_level), lift(r.flow), lift(r.T),
                     lift(jnp.stack([r.aff.a, r.aff.b], -1)), lift(r.ok))))
-                i, g = select_winner(r_np, self.last_coarse_rmse, self.cfg)
+                i, g = selector(r_np, self.last_coarse_rmse, self.cfg)
                 return r_np, i, g
 
-            res, idx, good = run(stage1[:1])
-            if not good or float(res.res_per_level[idx, 0]) > thr:
-                res5, idx5, good5 = run(stage1)
-                if good5 and (not good or float(res5.res_per_level[idx5, 0])
-                              < float(res.res_per_level[idx, 0])):
-                    res, idx, good = res5, idx5, good5
-            if not good or float(res.res_per_level[idx, 0]) > thr:
-                res2, idx2, good2 = run(stage2)
-                if good2 and (not good or float(res2.res_per_level[idx2, 0])
-                              < float(res.res_per_level[idx, 0])):
-                    res, idx, good = res2, idx2, good2
+            if self.cfg.tracker.winner_policy == "serial":
+                # parity / A/B mode: evaluate the FULL ordered try-list in
+                # one batch, then walk it with the reference's serial
+                # achievedRes rule (FrontEnd.cpp:198-248)
+                res, idx, good = run(
+                    np.concatenate([stage1, stage2], axis=0),
+                    selector=select_winner_serial)
+            else:
+                res, idx, good = run(stage1[:1])
+                if not good or float(res.res_per_level[idx, 0]) > thr:
+                    res5, idx5, good5 = run(stage1)
+                    if good5 and (not good or float(res5.res_per_level[idx5, 0])
+                                  < float(res.res_per_level[idx, 0])):
+                        res, idx, good = res5, idx5, good5
+                if not good or float(res.res_per_level[idx, 0]) > thr:
+                    res2, idx2, good2 = run(stage2)
+                    if good2 and (not good or float(res2.res_per_level[idx2, 0])
+                                  < float(res.res_per_level[idx, 0])):
+                        res, idx, good = res2, idx2, good2
 
         shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
                            np.zeros(2, np.float32))
@@ -568,20 +633,44 @@ class FrontEnd:
     # ------------------------------------------------------------------
 
     def _make_keyframe(self, shell: FrameShell, pyr0: Pyramid, img1):
+        """The keyframe pipeline, restructured around BUNDLED host pulls:
+        on a remote-attached TPU each blocking pull costs one RTT (~27 ms)
+        REGARDLESS of size, so every stage's host-needed values ride one
+        tuple pull. Four bundles per KF: (1) pre-insert views + immature
+        counts, (2) activation gates, (3) BA result + template starvation
+        + speculatively-dispatched scale grid + post-BA views, (4) point
+        flags + marginalized-frame export stats. The naive per-stage form
+        cost ~15 pulls/KF (~430 ms measured on the tunneled chip)."""
         cfg = self.cfg
         shell.is_kf = True
         self.kf_shells.append(shell)
+
+        # ---- BUNDLE 1: pre-insert views + immature counts ------------------
+        st = self.ba_state
+        imm_slots = [s for s in self.immatures.keys()]
+        counts_dev = tuple(jnp.sum(self.immatures[s].valid) for s in imm_slots)
+        if getattr(self, "_views_cache_key", None) is not st:
+            views_dev = ba.current_views(st)
+            pulled = jax.device_get((views_dev, counts_dev))
+            self._views_cache = pulled[0]
+            self._views_cache_key = st
+            counts = pulled[1]
+        else:
+            counts = jax.device_get(counts_dev)
+        imm_counts = dict(zip(imm_slots, counts))
 
         with self.timers.span("trace"):
             self._trace_all(shell.T_wc, pyr0.data[0], shell.aff)
 
         # ---- flag frames for marginalization (FrontEndMarginalize.cpp:62) --
-        flagged = self._flag_frames_for_marginalization(shell)
+        flagged = self._flag_frames_for_marginalization(shell, imm_counts)
 
         # ---- insert the new KF into the window -----------------------------
         slot = self._free_slot()
         T_cw = np.linalg.inv(shell.T_wc).astype(np.float32)
         prev_newest = self._newest_slot()
+        pre_views = self._views_cache      # pre-insert snapshot (bundle 1)
+        n_active_before = int(np.asarray(pre_views[3]).sum())
         self.ba_state = ba.add_frame(
             self.ba_state, slot, self.num_kfs, T_cw, shell.aff, 1.0, pyr0.data[0],
         )
@@ -596,23 +685,46 @@ class FrontEnd:
         self.num_kfs += 1
 
         # ---- activate candidate points (FrontEnd.cpp:341-500) --------------
+        # (BUNDLE 2 inside: gating runs on device, one pull of the masks)
         with self.timers.span("activate"):
-            self._activate_points(slot)
+            self._activate_points(slot, T_cw, pre_views)
 
         # ---- windowed BA (FrontEndOptimize.cpp:332) ------------------------
-        n_active_frames = len(self._active_slots())
+        n_active_frames = n_active_before + 1
         iters = cfg.ba.max_opt_iterations
         if n_active_frames < 3:
             iters = 20
         elif n_active_frames < 4:
             iters = 15
         with self.timers.span("dso_opt"):
-            self.ba_state, rmse, ok = ba.optimize(self.ba_state, cfg, iters)
-            self.ba_state = ba.set_new_frame_energy_th(
-                self.ba_state, jnp.int32(slot), cfg)
-            self.ba_state = ba.reset_fej_newest(self.ba_state, jnp.int32(slot))
-            rmse, ok = jax.device_get((rmse, ok))
-        rmse = float(rmse)
+            self.ba_state, rmse_d, ok_d = ba.optimize_keyframe(
+                self.ba_state, cfg, iters, slot)
+
+        # ---- template chain + speculative scale dispatch (device) ----------
+        with self.timers.span("template"):
+            ti = ba.template_inputs(self.ba_state, cfg, slot)
+            tmpl = build_template(
+                ti[0], ti[1], ti[2], ti[3], pyr0.data[0][..., 0],
+                self.levels, self.budgets, valid=ti[4])
+            pmask_count = jnp.sum(tmpl.pmask[0])
+
+        scale_enabled = (cfg.scale_opt.accept_thres > 0 and
+                         len(self.kf_shells) > cfg.scale_opt.min_kfs_before_scale)
+        scale_out = None
+        if scale_enabled:
+            with self.timers.span("scale_opt"):
+                pyr1 = build_pyramid(img1, self.levels)
+                scale_out = dispatch_scale_optimization(
+                    tuple(pyr1.data), tmpl, self.intr0, self.intr1,
+                    jnp.asarray(self.t_cam1_cam0), cfg, self.scale_state)
+
+        # ---- BUNDLE 3: BA gates + views + template + scale -----------------
+        views2_dev = ba.current_views(self.ba_state)
+        bundle3 = [rmse_d, ok_d, views2_dev, pmask_count]
+        if scale_out is not None:
+            bundle3.append((scale_out.scale, scale_out.error))
+        pulled3 = jax.device_get(tuple(bundle3))
+        rmse = float(pulled3[0])
 
         # ---- init-failure / lost gates (FrontEnd.cpp:778-790) --------------
         gates = self.cfg.runtime.init_rmse_gates
@@ -621,64 +733,206 @@ class FrontEnd:
                 (nk == 4 and rmse > gates[2]):
             self.init_failed = True
             return
-        if not bool(ok):
+        if not bool(pulled3[1]):
             self.is_lost = True
             return
 
-        # ---- remove outliers + refresh shells ------------------------------
-        no_res = ~jnp.any(self.ba_state.p_res_good & self.ba_state.p_valid[:, None], axis=1)
-        self.ba_state = ba.drop_points(self.ba_state, no_res)
+        self._views_cache = pulled3[2]
+        self._views_cache_key = self.ba_state
         self._refresh_kf_shells()
         shell.T_wc = self._kf_pose(slot)
         self.cur_pose = shell.T_wc
 
-        # ---- new tracker template ------------------------------------------
-        with self.timers.span("template"):
-            self._build_template(slot, pyr0)
+        # ---- adopt the template --------------------------------------------
+        self.template = tmpl
+        if int(pulled3[3]) < 8:
+            # template starvation = effectively lost (the reference reaches
+            # this as NaN tracking residuals on the next frame)
+            self.is_lost = True
+        self.template_kf_slot = slot
+        aff = self._views_cache[1][slot]
+        self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))
+        self.template_ref_exposure = jnp.float32(1.0)
+        self.first_coarse_rmse = -1.0
+        self.last_coarse_rmse = 1e9
 
-        # ---- stereo scale optimization (FrontEnd.cpp:806-811, 975-1064) ----
+        # ---- stereo scale decision (FrontEnd.cpp:975-1064) -----------------
         scale_error = -1.0
-        if cfg.scale_opt.accept_thres > 0 and len(self.kf_shells) > cfg.scale_opt.min_kfs_before_scale:
-            with self.timers.span("scale_opt"):
-                pyr1 = build_pyramid(img1, self.levels)
-                accepted, new_scale, scale_error, self.scale_state = run_scale_optimization(
-                    tuple(pyr1.data), self.template, self.intr0, self.intr1,
-                    jnp.asarray(self.t_cam1_cam0), cfg, self.scale_state,
-                )
+        if scale_out is not None:
+            accepted, new_scale, scale_error, self.scale_state = \
+                decide_scale_optimization(
+                    np.asarray(pulled3[4][0]), np.asarray(pulled3[4][1]),
+                    cfg, self.scale_state)
             if accepted:
                 self._apply_scale(new_scale, slot)
         self.scale_errors[slot] = scale_error
 
-        # ---- flag points for removal & marginalize them --------------------
-        with self.timers.span("point_marg"):
-            self._flag_and_marginalize_points(flagged)
-
-        # ---- new immature traces (FrontEnd.cpp:824, 936-962) ---------------
-        with self.timers.span("feature_detect"):
-            self._make_new_traces(slot, pyr0)
-
-        # ---- marginalize flagged frames ------------------------------------
-        with self.timers.span("frame_marg"):
-            for mslot in flagged:
-                self._marginalize_frame(mslot)
+        # ---- BUNDLE 4: point flags + new traces + marg exports -------------
+        self._finalize_keyframe(flagged, slot, pyr0)
 
     # ------------------------------------------------------------------
 
-    def _flag_frames_for_marginalization(self, shell) -> List[int]:
-        """FrontEndMarginalize.cpp:62-146."""
+    def _finalize_keyframe(self, flagged: List[int], new_slot: int,
+                           pyr0: Pyramid):
+        """Fused pipeline tail — flagPointsForRemoval + makeNewTraces +
+        marginalizeFrame (FrontEnd.cpp:504-583, 824, 835-839) — around ONE
+        device pull (bundle 4): a single linearization of the
+        post-BA/post-scale state feeds point flagging, dso_error, and the
+        marginalized-point exports, with the pixel-selector count and the
+        per-flagged-slot level-color gathers riding the same pull. The
+        views cache is patched host-side afterwards (the tail ops change
+        only validity masks, never poses), keeping the per-frame tracking
+        path pull-free."""
+        cfg = self.cfg
+        st = self.ba_state
+
+        # ---- dispatch all device work (async) ------------------------------
+        lin = ba.linearize(st, cfg)
+        n_good_dev = jnp.sum(lin.pair_good, axis=1)
+        sel_map, sel_count = make_selection_map(
+            pyr0.abs_grad[0], pyr0.abs_grad[1], pyr0.abs_grad[2], self.pot, cfg)
+        color_gathers = {
+            s: _gather_level_colors(tuple(self.pyramids[s].data), st.p_u, st.p_v)
+            for s in flagged if s in self.pyramids
+        }
+        views_dev = ba.current_views(st)
+
+        pulled = jax.device_get((
+            views_dev,
+            (st.p_u, st.p_v, st.p_idepth, n_good_dev, lin.Hdd,
+             lin.pair_good, lin.pair_energy, st.p_color),
+            sel_count,
+            color_gathers,
+        ))
+        views = pulled[0]
+        pu_a, pv_a, pid_a, n_good, Hdd, pair_good, pair_e, p_color = pulled[1]
+        got = int(pulled[2])
+        colors_by_slot = pulled[3]
+        p_valid, p_host = views[5], views[6]
+        fx0, fy0, cx0, cy0 = views[2]
+
+        # ---- flag + marginalize/drop points (FrontEnd.cpp:504-583) ---------
+        with self.timers.span("point_marg"):
+            host_flagged = np.isin(p_host, flagged)
+            bad = p_valid & ((pid_a < 0) | (n_good == 0))
+            leaving = p_valid & host_flagged & ~bad
+            marg = leaving & (Hdd > cfg.ba.min_idepth_h_marg) & (n_good >= 1)
+            drop = bad | (leaving & ~marg)
+            removed = marg | drop
+            for s in set(p_host[marg]):
+                self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})[
+                    "marg"] += int((marg & (p_host == s)).sum())
+            for s in set(p_host[drop & p_valid]):
+                self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})[
+                    "out"] += int((drop & (p_host == s)).sum())
+            if marg.any():
+                self.ba_state = ba.marginalize_points(
+                    self.ba_state, jnp.asarray(marg), cfg)
+            if drop.any():
+                self.ba_state = ba.drop_points(self.ba_state, jnp.asarray(drop))
+            self._last_marg_mask = marg  # for the loop handler's point export
+
+        # ---- new immature traces (FrontEnd.cpp:824, 936-962) ---------------
+        with self.timers.span("feature_detect"):
+            self.pot = adapt_potential(self.pot, got,
+                                       cfg.ba.desired_immature_density)
+            self.immatures[new_slot] = immature.create_points(
+                pyr0.data[0], sel_map, cfg.ba.max_immature_per_frame)
+
+        # ---- marginalize flagged frames (FrontEndMarginalize.cpp:148-215) --
+        with self.timers.span("frame_marg"):
+            for mslot in flagged:
+                # dso_error: energy of residuals targeting the frame /
+                # count^2, over residual pairs that survive point removal
+                # (equivalent to re-linearizing after the drop: removed
+                # points cover every pair a fresh linearization would
+                # exclude). A NaN last_dso_error is the sequence-restart
+                # marker set by the runtime (node.py) — the FIRST
+                # marginalized KF of a new sequence exports dso_error=NaN
+                # so the loop handler adds no odometry edge linking
+                # unrelated sequences (FrontEndMarginalize.cpp:197-202).
+                restart = math.isnan(self.last_dso_error)
+                tgt = pair_good[:, mslot] & ~removed
+                cnt = int(tgt.sum())
+                if cnt > 0:
+                    dso_error = float(pair_e[tgt, mslot].sum()) / cnt / cnt
+                elif restart:
+                    dso_error = 10e5          # the __init__ default
+                else:
+                    dso_error = 10.0 * self.last_dso_error
+                self.last_dso_error = dso_error
+                if restart:
+                    dso_error = float("nan")
+
+                sel = marg & (p_host == mslot)
+                pu = pu_a[sel]
+                pv = pv_a[sel]
+                pid = np.maximum(pid_a[sel], 1e-6)
+                pts_cam = np.stack(
+                    [(pu - cx0) / fx0 / pid, (pv - cy0) / fy0 / pid,
+                     1.0 / pid], -1)
+                if mslot in colors_by_slot and len(pu) > 0:
+                    colors = colors_by_slot[mslot][sel]     # [K, L]
+                else:
+                    colors = p_color[sel][:, 4:5]
+
+                fid = int(views[4][mslot])
+                k = fid - self.prev_kf_count
+                shell = self.kf_shells[k] if 0 <= k < len(self.kf_shells) else None
+                self.marginalized_queue.append(MarginalizedKF(
+                    kf_id=fid,
+                    incoming_id=shell.incoming_id if shell else -1,
+                    timestamp=shell.timestamp if shell else 0.0,
+                    T_wc=np.linalg.inv(views[0][mslot]),
+                    dso_error=dso_error,
+                    scale_error=self.scale_errors.get(mslot, -1.0),
+                    pts_cam=pts_cam,
+                    pts_colors=colors,
+                    pyr=tuple(self.pyramids[mslot].data)
+                        if mslot in self.pyramids else None,
+                ))
+                self.ba_state = ba.marginalize_frame(
+                    self.ba_state, jnp.int32(mslot))
+                self.immatures.pop(mslot, None)
+                self.pyramids.pop(mslot, None)
+                self.slot_stats.pop(mslot, None)
+                self.scale_errors.pop(mslot, None)
+
+        # ---- patch the views cache (validity only; poses untouched) --------
+        fv = views[3].copy()
+        for mslot in flagged:
+            fv[mslot] = False
+        self._views_cache = (views[0], views[1], views[2], fv, views[4],
+                             views[5] & ~removed, views[6])
+        self._views_cache_key = self.ba_state
+        import os as _os
+        if _os.environ.get("DSSLAM_CHECK_VIEWS_PATCH"):
+            fresh = jax.device_get(ba.current_views(self.ba_state))
+            ok_slots = np.asarray(fresh[3])
+            c = self._views_cache
+            np.testing.assert_allclose(c[0][ok_slots], fresh[0][ok_slots],
+                                       err_msg="patch mismatch: T")
+            np.testing.assert_allclose(c[1][ok_slots], fresh[1][ok_slots],
+                                       err_msg="patch mismatch: aff")
+            np.testing.assert_allclose(c[2], fresh[2],
+                                       err_msg="patch mismatch: calib")
+            assert (c[3] == fresh[3]).all(), "patch mismatch: frame_valid"
+            assert (c[5] == np.asarray(fresh[5])).all(), "patch mismatch: p_valid"
+            assert (c[6] == np.asarray(fresh[6])).all(), "patch mismatch: p_host"
+
+    # ------------------------------------------------------------------
+
+    def _flag_frames_for_marginalization(self, shell, imm_counts) -> List[int]:
+        """FrontEndMarginalize.cpp:62-146. All inputs come from the
+        bundle-1 views pull (no device sync here)."""
         cfg = self.cfg.ba
         slots = self._active_slots()
         if len(slots) < 2:
             return []
         newest = slots[-1]
-        aff_all = self._views_np()[1]
-        imm_slots = [s for s in slots if s in self.immatures]
-        pulled = jax.device_get((
-            self.ba_state.p_valid, self.ba_state.p_host,
-            tuple(jnp.sum(self.immatures[s].valid) for s in imm_slots),
-        ))
-        p_valid, p_host = pulled[0], pulled[1]
-        imm_counts = dict(zip(imm_slots, pulled[2]))
+        views = self._views_np()
+        aff_all = views[1]
+        p_valid, p_host = views[5], views[6]
         flagged: List[int] = []
 
         for s in slots:
@@ -694,7 +948,7 @@ class FrontEnd:
 
         # distance-score marginalization of one more frame
         if len(slots) - len(flagged) >= cfg.max_frames:
-            fid = np.asarray(self.ba_state.frame_id)
+            fid = views[4]
             latest_id = fid[newest]
             poses = {s: self._kf_pose(s) for s in slots}
             best_score, best_slot = 1.0, None
@@ -717,12 +971,16 @@ class FrontEnd:
 
     # ------------------------------------------------------------------
 
-    def _activate_points(self, new_slot: int):
+    def _activate_points(self, new_slot: int, T_cw_new: np.ndarray,
+                         pre_views):
         """FrontEnd.cpp:341-500: density-adaptive distance-map gating +
-        batched 1-D idepth optimization + insertion into the point pool."""
+        batched 1-D idepth optimization + insertion into the point pool.
+        The distance map AND the per-candidate gates run on device; the
+        host pulls ONE bundle of per-slot (ok, drop) masks (bundle 2) and
+        does only the insertion bookkeeping from the bundle-1 snapshot."""
         cfg = self.cfg
         want = cfg.ba.desired_point_density
-        have = self._point_count()
+        have = int(np.asarray(pre_views[5]).sum())
         d = self.current_min_act_dist
         if have < want * 0.66:
             d -= 0.8
@@ -742,102 +1000,77 @@ class FrontEnd:
             d += 0.1
         self.current_min_act_dist = float(np.clip(d, 0.0, 4.0))
 
-        # distance map from active points projected into the new KF (half res)
+        # distance map from active points projected into the new KF (half
+        # res): fully on device (the post-insert state already has the new
+        # frame's pose)
         K = np.asarray(self.intr0.K(1), np.float32)  # level-1 intrinsics
         h2, w2 = self.intr0.h[1], self.intr0.w[1]
         st = self.ba_state
-        # project active points into new frame at half-res (host copies of
-        # the state views come from the single cached device_get)
-        T_all, _, calib_np, _, _ = self._views_np()
-        fx0, fy0, cx0, cy0 = calib_np
-        T_cw_new = T_all[new_slot]
-        p_host, pu_a, pv_a, pid_a, pvalid_a = jax.device_get((
-            st.p_host, st.p_u, st.p_v, st.p_idepth, st.p_valid))
-        T_nh = np.einsum("ij,hjk->hik", T_cw_new, np.linalg.inv(T_all))  # per host
-        Xh = np.stack([
-            (pu_a - cx0) / fx0,
-            (pv_a - cy0) / fy0,
-            np.ones(self.pool, np.float32),
-        ], -1) / np.maximum(pid_a, 1e-6)[:, None]
-        R = T_nh[p_host, :3, :3]
-        t = T_nh[p_host, :3, 3]
-        pt = np.einsum("pij,pj->pi", R, Xh) + t
-        pu2 = K[0, 0] * pt[:, 0] / pt[:, 2] + K[0, 2]
-        pv2 = K[1, 1] * pt[:, 1] / pt[:, 2] + K[1, 2]
-        proj_ok = pvalid_a & (pt[:, 2] > 0)
-        dist_np = np.asarray(build_distance_map(
-            jnp.asarray(pu2), jnp.asarray(pv2), jnp.asarray(proj_ok), h2, w2
-        ))
+        dist_map = _halfres_distance_map(
+            st, jnp.int32(new_slot), jnp.asarray(K), h2, w2)
 
         images = st.images
         frame_valid = st.frame_valid
         # device-side views for the jitted activation call: one dispatch
-        T_cw_j, aff_j, calib_j, _, _ = ba.current_views(st)
+        views_dev = ba.current_views(st)
+        T_cw_j, aff_j, calib_j = views_dev[0], views_dev[1], views_dev[2]
 
-        # Three phases tuned for dispatch-latency hygiene: (1) enqueue all
-        # device work for every slot (async — dispatches are cheap, ~0.4 ms
-        # even remote-attached); (2) ONE blocking device_get for every
-        # slot's gate inputs and activation results; (3) host gating math
-        # and async fixed-shape inserts. A per-slot blocking pull here was
-        # the dominant keyframe-pipeline cost on a remote-attached chip.
+        # Phases: (1) enqueue activation + gating device work for every
+        # slot (dispatches are cheap, ~0.4 ms even remote-attached);
+        # (2) ONE blocking pull of per-slot (ok, drop) masks — bundle 2;
+        # (3) host insertion bookkeeping + async fixed-shape inserts.
         slots_todo = [s for s in self.immatures.keys() if s != new_slot]
         if not slots_todo:
             return
+        T_all_old = pre_views[0]
+        K1i = np.linalg.inv(K)
         acts = {}
+        gates = {}
         for slot in slots_todo:
+            pts = self.immatures[slot]
             acts[slot] = immature.activate_points(
-                self.immatures[slot], jnp.int32(slot), images, frame_valid,
+                pts, jnp.int32(slot), images, frame_valid,
                 T_cw_j, aff_j, calib_j, cfg,
             )
-        pulled = jax.device_get(tuple(
-            (immature.can_activate(self.immatures[s], cfg),
-             self.immatures[s].u, self.immatures[s].v,
-             self.immatures[s].idepth_min, self.immatures[s].idepth_max,
-             self.immatures[s].status, self.immatures[s].valid,
-             self.immatures[s].my_type, acts[s].ok)
-            for s in slots_todo))
+            # host 4x4 math from the bundle-1 snapshot (old slots' poses
+            # have not moved since) + the new KF's host-known pose
+            T_nh1 = T_cw_new @ np.linalg.inv(T_all_old[slot])
+            KRKi1 = K @ T_nh1[:3, :3] @ K1i
+            Kt1 = K @ T_nh1[:3, 3]
+            gates[slot] = _gate_candidates(
+                pts, acts[slot].ok, dist_map,
+                jnp.asarray(KRKi1, jnp.float32), jnp.asarray(Kt1, jnp.float32),
+                jnp.float32(self.current_min_act_dist), cfg, w2, h2)
+
+        pulled = jax.device_get(tuple(gates[s] for s in slots_todo))
 
         P = self.cfg.ba.max_points_per_frame
-        K1i = np.linalg.inv(np.asarray(self.intr0.K(1)))
-        T_w_new_inv = np.linalg.inv(self._kf_pose(new_slot))
+        pvalid_a = np.asarray(pre_views[5])
+        free_rows = ~pvalid_a.copy()      # shared across slots (overflow)
         for i, slot in enumerate(slots_todo):
             pts = self.immatures[slot]
-            can, pu_h, pv_h, idmin_h, idmax_h, status, valid_h, mytype_h, act_ok = pulled[i]
-            # project candidates into the new frame (half res) for the gate
-            T_nh1 = T_w_new_inv @ self._kf_pose(slot)  # 4x4
-            KRKi1 = K @ T_nh1[:3, :3] @ K1i
-            # use mid idepth; level-1 coordinates = (x+0.5)/2-0.5
-            u1 = (pu_h + 0.5) / 2 - 0.5
-            v1 = (pv_h + 0.5) / 2 - 0.5
-            id_mid = 0.5 * (idmin_h + np.minimum(idmax_h, 1e3))
-            ptp = (np.stack([u1, v1, np.ones_like(u1)], -1) @ KRKi1.T
-                   + (K @ T_nh1[:3, 3])[None] * id_mid[:, None])
-            gu = np.clip((ptp[:, 0] / ptp[:, 2] + 0.5).astype(int), 0, w2 - 1)
-            gv = np.clip((ptp[:, 1] / ptp[:, 2] + 0.5).astype(int), 0, h2 - 1)
-            in_b = (ptp[:, 2] > 0) & (gu > 0) & (gv > 0) & (gu < w2 - 1) & (gv < h2 - 1)
-            gate = dist_np[gv, gu] >= self.current_min_act_dist * mytype_h
-            want_mask = can & in_b & gate
-            # delete candidates that will never activate (OOB / outlier)
-            drop = valid_h & (
-                (status == immature.IPS_OUTLIER) | (~in_b & (status == immature.IPS_OOB))
-            )
-            ok = act_ok & want_mask
+            ok, drop = pulled[i]
             if not ok.any():
                 if drop.any():
                     self.immatures[slot] = pts._replace(
                         valid=pts.valid & ~jnp.asarray(drop))
                 continue
-            # insert accepted into free entries of the host's pool SEGMENT
-            # (the pool is partitioned per host slot: segment s = rows
-            # [s*P, (s+1)*P) — keeps host indices block-uniform, which the
-            # block-factored Hessian assembly exploits).
+            # insert accepted into free pool rows: the host's own segment
+            # first (locality), then OVERFLOW into any other free rows —
+            # the pool is one shared budget (the BA assembly groups by
+            # p_host via one-hot, not by segment), so a well-textured KF
+            # is not capped at P while other segments sit empty.
             # FIXED-length batch (padded, valid=False lanes dropped in the
             # scatter) so the insert is ONE jitted dispatch with a single
             # compiled shape regardless of how many points activate.
-            # Segments are disjoint, so the pool-validity snapshot pulled
-            # before the inserts stays correct for every slot.
-            seg_free = np.nonzero(~pvalid_a[slot * P:(slot + 1) * P])[0] + slot * P
-            k = min(len(seg_free), int(ok.sum()))
+            # `free_rows` is decremented across slots within this call
+            # (overflow makes segments non-disjoint).
+            own = np.nonzero(free_rows[slot * P:(slot + 1) * P])[0] + slot * P
+            other = np.nonzero(free_rows)[0]
+            other = other[(other < slot * P) | (other >= (slot + 1) * P)]
+            seg_free = np.concatenate([own, other])
+            k = min(len(seg_free), int(ok.sum()), P)
+            free_rows[seg_free[:k]] = False
             if k > 0:
                 src = np.zeros(P, np.int32)
                 src[:k] = np.nonzero(ok)[0][:k]
@@ -858,7 +1091,7 @@ class FrontEnd:
     def _refresh_kf_shells(self):
         """Push optimized window poses back into the shells
         (FrontEndOptimize.cpp:475-481)."""
-        fid = np.asarray(self.ba_state.frame_id)
+        fid = self._views_np()[4]
         for s in self._active_slots():
             pose = self._kf_pose(s)
             k = int(fid[s]) - self.prev_kf_count
@@ -870,7 +1103,8 @@ class FrontEnd:
         reference KF with BA idepth-hessian weights."""
         st = self.ba_state
         lin = ba.linearize(st, self.cfg)
-        T_all, _, calib_np, _, _ = self._views_np()
+        views = self._views_np()
+        T_all, calib_np = views[0], views[2]
         fx0, fy0, cx0, cy0 = calib_np
         p_host, pu_a, pv_a, pid_a, pvalid_a, Hdd_a = jax.device_get((
             st.p_host, st.p_u, st.p_v, st.p_idepth, st.p_valid, lin.Hdd))
@@ -930,35 +1164,6 @@ class FrontEnd:
             self.cur_pose = shell.T_wc
         self.ba_state = st
 
-    def _flag_and_marginalize_points(self, flagged_slots: List[int]):
-        """flagPointsForRemoval (FrontEnd.cpp:504-583) + ef drop/marginalize."""
-        cfg = self.cfg
-        st = self.ba_state
-        lin = ba.linearize(st, cfg)
-        p_valid, p_host, idepth, n_good, Hdd = jax.device_get((
-            st.p_valid, st.p_host, st.p_idepth,
-            jnp.sum(lin.pair_good, axis=1), lin.Hdd,
-        ))
-
-        host_flagged = np.isin(p_host, flagged_slots)
-        bad = p_valid & ((idepth < 0) | (n_good == 0))
-        leaving = p_valid & host_flagged & ~bad
-        marg = leaving & (Hdd > cfg.ba.min_idepth_h_marg) & (n_good >= 1)
-        drop = bad | (leaving & ~marg)
-
-        for s in set(p_host[marg & p_valid]):
-            self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})["marg"] += int(
-                (marg & (p_host == s)).sum())
-        for s in set(p_host[drop & p_valid]):
-            self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})["out"] += int(
-                (drop & (p_host == s)).sum())
-
-        if marg.any():
-            self.ba_state = ba.marginalize_points(self.ba_state, jnp.asarray(marg), cfg)
-        if drop.any():
-            self.ba_state = ba.drop_points(self.ba_state, jnp.asarray(drop))
-        self._last_marg_mask = marg  # for the loop handler's point export
-
     def _make_new_traces(self, slot: int, pyr0: Pyramid):
         """makeNewTraces (FrontEnd.cpp:936-962) with density feedback."""
         cfg = self.cfg
@@ -971,79 +1176,3 @@ class FrontEnd:
             pyr0.data[0], sel, cfg.ba.max_immature_per_frame
         )
 
-    def _marginalize_frame(self, slot: int):
-        """FrontEndMarginalize.cpp:148-215: compute dso_error, export the
-        marginalized KF to the loop queue, Schur-remove the frame."""
-        cfg = self.cfg
-        st = self.ba_state
-        lin = ba.linearize(st, cfg)
-        pair_good, pair_e, p_host_a, pu_a, pv_a, pid_a = jax.device_get((
-            lin.pair_good, lin.pair_energy, st.p_host, st.p_u, st.p_v,
-            st.p_idepth,
-        ))
-
-        # dso_error: energy of residuals targeting the frame / count^2.
-        # A NaN last_dso_error is the sequence-restart marker set by the
-        # runtime (node.py) — the FIRST marginalized KF of a new sequence
-        # must export dso_error=NaN so the loop handler adds no odometry
-        # edge linking unrelated sequences (FrontEndMarginalize.cpp:197-202,
-        # LoopHandler.cpp:119-121); normal computation resumes afterwards.
-        restart = math.isnan(self.last_dso_error)
-        tgt = pair_good[:, slot]
-        cnt = int(tgt.sum())
-        if cnt > 0:
-            dso_error = float(pair_e[tgt, slot].sum()) / cnt / cnt
-        elif restart:
-            dso_error = 10e5          # the __init__ default
-        else:
-            dso_error = 10.0 * self.last_dso_error
-        self.last_dso_error = dso_error
-        if restart:
-            dso_error = float("nan")
-
-        # export marginalized points (this slot's points that were just
-        # folded into the prior) + level colors for the loop handler
-        marg_mask = getattr(self, "_last_marg_mask", np.zeros(self.pool, bool))
-        sel = marg_mask & (p_host_a == slot)
-        fx0, fy0, cx0, cy0 = self._views_np()[2]
-        pu = pu_a[sel]
-        pv = pv_a[sel]
-        pid = np.maximum(pid_a[sel], 1e-6)
-        pts_cam = np.stack(
-            [(pu - cx0) / fx0 / pid, (pv - cy0) / fy0 / pid, 1.0 / pid], -1
-        )
-        # per-level intensities at the point (LoopHandler.cpp:175-180):
-        # one jitted multi-level gather over the slot's FIXED-size pool
-        # segment + one pull (a per-level eager gather is 2 round trips
-        # per level, and gathering only the K selected points would
-        # recompile for every distinct K)
-        pyr = self.pyramids.get(slot)
-        if pyr is not None and len(pu) > 0:
-            P = self.cfg.ba.max_points_per_frame
-            seg = slice(slot * P, (slot + 1) * P)
-            seg_colors = np.asarray(_gather_level_colors(
-                tuple(pyr.data), jnp.asarray(pu_a[seg]), jnp.asarray(pv_a[seg])))
-            colors = seg_colors[sel[seg]]                   # [K, L]
-        else:
-            colors = np.asarray(st.p_color)[sel][:, 4:5]
-
-        fid = int(self._views_np()[4][slot])
-        k = fid - self.prev_kf_count
-        shell = self.kf_shells[k] if 0 <= k < len(self.kf_shells) else None
-        self.marginalized_queue.append(MarginalizedKF(
-            kf_id=fid,
-            incoming_id=shell.incoming_id if shell else -1,
-            timestamp=shell.timestamp if shell else 0.0,
-            T_wc=self._kf_pose(slot),
-            dso_error=dso_error,
-            scale_error=self.scale_errors.get(slot, -1.0),
-            pts_cam=pts_cam,
-            pts_colors=colors,
-            pyr=tuple(self.pyramids[slot].data) if slot in self.pyramids else None,
-        ))
-
-        self.ba_state = ba.marginalize_frame(self.ba_state, jnp.int32(slot))
-        self.immatures.pop(slot, None)
-        self.pyramids.pop(slot, None)
-        self.slot_stats.pop(slot, None)
-        self.scale_errors.pop(slot, None)

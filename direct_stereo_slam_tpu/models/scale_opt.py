@@ -192,6 +192,63 @@ class ScaleState:
     consecutive_fails: int = 0
 
 
+def dispatch_scale_optimization(
+    pyr1,
+    template: TrackerTemplate,
+    intr0: PyramidIntrinsics,
+    intr1: PyramidIntrinsics,
+    t_cam1_cam0: jnp.ndarray,
+    cfg: SLAMConfig,
+    state: ScaleState,
+) -> ScaleOptResult:
+    """Device half of the scale optimization: enqueue the (possibly
+    batched) scale LM and return the UNPULLED ScaleOptResult arrays so the
+    caller can fold them into one bundled ``jax.device_get`` with the rest
+    of the keyframe pipeline (one ~27 ms RTT on a remote-attached chip
+    instead of one per stage). Pair with ``decide_scale_optimization``."""
+    so = cfg.scale_opt
+    if state.trapped:
+        guesses = jnp.asarray([1.0], jnp.float32)
+    else:
+        guesses = jnp.asarray(np.array(so.grid_guesses, np.float32))
+    return optimize_scale_batch(
+        tuple(pyr1), template, guesses, intr0, intr1, t_cam1_cam0, cfg,
+    )
+
+
+def decide_scale_optimization(
+    scales: np.ndarray,
+    errors: np.ndarray,
+    cfg: SLAMConfig,
+    state: ScaleState,
+):
+    """Host half: the reference's accept/trap/untrap state machine
+    (FrontEnd.cpp:1010-1023) applied to already-pulled batch results.
+
+    Returns (accepted: bool, scale: float, scale_error: float, state);
+    ``scale_error < 0`` encodes rejection/disabled."""
+    so = cfg.scale_opt
+    ok = errors > 0
+    if ok.any():
+        best = int(np.argmin(np.where(ok, errors, np.inf)))
+        new_scale = float(scales[best])
+        scale_error = float(errors[best])
+    else:
+        new_scale, scale_error = 1.0, -1.0
+
+    succeed = 0 <= scale_error < so.accept_thres
+    # no sudden jumps once trapped (FrontEnd.cpp:1012-1016)
+    if state.trapped and abs(new_scale - 1.0) > so.trapped_jump_thres:
+        succeed = False
+    state.consecutive_fails = 0 if succeed else state.consecutive_fails + 1
+    if state.consecutive_fails > so.max_consecutive_fails:
+        state.trapped = False
+        scale_error = -1.0
+    if succeed and not state.trapped:
+        state.trapped = True
+    return succeed, new_scale, scale_error, state
+
+
 def run_scale_optimization(
     pyr1,
     template: TrackerTemplate,
@@ -207,40 +264,10 @@ def run_scale_optimization(
     ``scale_error < 0`` encodes rejection/disabled (the downstream loop
     handler skips loop closure for such keyframes, LoopHandler.cpp:225-229).
     """
-    so = cfg.scale_opt
-    if so.accept_thres < 0:
+    if cfg.scale_opt.accept_thres < 0:
         return False, 1.0, -1.0, state
-
-    if state.trapped:
-        out = optimize_scale_batch(
-            tuple(pyr1), template, jnp.asarray([1.0], jnp.float32),
-            intr0, intr1, t_cam1_cam0, cfg,
-        )
-        new_scale = float(out.scale[0])
-        scale_error = float(out.error[0])
-    else:
-        guesses = jnp.asarray(np.array(so.grid_guesses, np.float32))
-        out = optimize_scale_batch(
-            tuple(pyr1), template, guesses, intr0, intr1, t_cam1_cam0, cfg
-        )
-        errors = np.asarray(out.error)
-        scales = np.asarray(out.scale)
-        ok = errors > 0
-        if ok.any():
-            best = int(np.argmin(np.where(ok, errors, np.inf)))
-            new_scale = float(scales[best])
-            scale_error = float(errors[best])
-        else:
-            new_scale, scale_error = 1.0, -1.0
-
-    succeed = 0 <= scale_error < so.accept_thres
-    # no sudden jumps once trapped (FrontEnd.cpp:1012-1016)
-    if state.trapped and abs(new_scale - 1.0) > so.trapped_jump_thres:
-        succeed = False
-    state.consecutive_fails = 0 if succeed else state.consecutive_fails + 1
-    if state.consecutive_fails > so.max_consecutive_fails:
-        state.trapped = False
-        scale_error = -1.0
-    if succeed and not state.trapped:
-        state.trapped = True
-    return succeed, new_scale, scale_error, state
+    out = dispatch_scale_optimization(
+        pyr1, template, intr0, intr1, t_cam1_cam0, cfg, state)
+    scales, errors = jax.device_get((out.scale, out.error))
+    return decide_scale_optimization(
+        np.asarray(scales), np.asarray(errors), cfg, state)

@@ -238,3 +238,59 @@ class TestMarginalization:
         # removed rows/cols zeroed, slot freed
         assert not bool(state_f.frame_valid[0])
         assert np.allclose(np.asarray(state_f.HM)[blk, :], 0.0)
+
+
+class TestPoolOverflow:
+    """The pool is one shared budget: points may live in ANY pool row
+    regardless of host slot (the assembly groups by p_host via one-hot,
+    not by segment) — VERDICT r1 item 8."""
+
+    def test_linearize_invariant_under_row_permutation(self):
+        """Permuting pool rows (breaking the old segment invariant) must
+        not change the BA system: energy, frame Hessian and the per-point
+        blocks (under the same permutation) all agree."""
+        _, cfg, state, _, _ = build_window(perturb_pose=0.02,
+                                           perturb_idepth=0.1)
+        rng = np.random.RandomState(3)
+        perm = rng.permutation(N_POINTS)
+        permute = lambda a: a[perm] if a.ndim >= 1 and a.shape[0] == N_POINTS else a
+        state_p = state._replace(
+            p_valid=state.p_valid[perm], p_host=state.p_host[perm],
+            p_u=state.p_u[perm], p_v=state.p_v[perm],
+            p_idepth=state.p_idepth[perm],
+            p_idepth_zero=state.p_idepth_zero[perm],
+            p_color=state.p_color[perm], p_weight=state.p_weight[perm],
+            p_prior=state.p_prior[perm], p_res_good=state.p_res_good[perm],
+        )
+        lin = ba.linearize(state, cfg)
+        lin_p = ba.linearize(state_p, cfg)
+        np.testing.assert_allclose(float(lin_p.energy), float(lin.energy),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(lin_p.Hff), np.asarray(lin.Hff),
+                                   rtol=2e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(lin_p.bf), np.asarray(lin.bf),
+                                   rtol=2e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(lin_p.Hdd),
+                                   np.asarray(lin.Hdd)[perm], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(lin_p.Hfd),
+                                   np.asarray(lin.Hfd)[perm],
+                                   rtol=2e-4, atol=1e-3)
+
+    def test_optimize_converges_with_out_of_segment_hosting(self):
+        """A permuted (segment-violating) window must optimize exactly as
+        well as the segmented one."""
+        _, cfg, state, T_gt, _ = build_window(perturb_pose=0.02)
+        rng = np.random.RandomState(4)
+        perm = rng.permutation(N_POINTS)
+        state_p = state._replace(
+            p_valid=state.p_valid[perm], p_host=state.p_host[perm],
+            p_u=state.p_u[perm], p_v=state.p_v[perm],
+            p_idepth=state.p_idepth[perm],
+            p_idepth_zero=state.p_idepth_zero[perm],
+            p_color=state.p_color[perm], p_weight=state.p_weight[perm],
+            p_prior=state.p_prior[perm], p_res_good=state.p_res_good[perm],
+        )
+        _, rmse_a, ok_a = ba.optimize(state, cfg, 6)
+        _, rmse_b, ok_b = ba.optimize(state_p, cfg, 6)
+        assert bool(ok_a) and bool(ok_b)
+        np.testing.assert_allclose(float(rmse_b), float(rmse_a), rtol=1e-4)
