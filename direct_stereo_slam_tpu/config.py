@@ -69,6 +69,16 @@ class TrackerConfig:
     # number of pose candidates evaluated in the first (cheap) batch before
     # falling back to the 78 rotation perturbations (FrontEnd.cpp:132-186).
     rot_perturbation_deltas: Tuple[float, ...] = (0.02, 0.03, 0.04)
+    # winner-selection policy over the candidate try-list:
+    #  "staged" (default): 1 -> 5 -> 78 growing batches with early exit at
+    #    batch granularity (one device program per stage, TPU-friendly);
+    #  "serial": evaluate the FULL ordered list in one batch and emulate
+    #    the reference's serial achievedRes-tightening walk over it
+    #    (FrontEnd.cpp:200-247) — A/B harness / parity mode. The only
+    #    non-emulated reference behavior is the mid-LM coarse-level abort
+    #    (minResForAbort), which affects which tries finish, not how the
+    #    finished residuals compare.
+    winner_policy: str = "staged"
 
 
 @dataclass(frozen=True)
@@ -200,6 +210,14 @@ class LoopConfig:
     # fixed budgets
     max_scan_points: int = 4096
     max_loop_points: int = 2048            # sparse pts per loop frame
+    # loop acceptance policy: False (default) = ICP refines the PCA seed,
+    # direct photometric alignment (from ICP and odometry seeds) is the
+    # acceptance gate whenever the current pyramid exists, ICP-only accept
+    # limited to pyramid-less KFs (sparse-cloud ICP fitness alone verifies
+    # wrong alignments; see PARITY.md). True = the reference's ordering
+    # (LoopHandler.cpp:270-296): direct from the PCA seed only, else
+    # ICP-only accept on fitness — A/B harness / parity mode.
+    reference_acceptance: bool = False
 
 
 @dataclass(frozen=True)

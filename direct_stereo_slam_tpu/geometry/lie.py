@@ -206,3 +206,105 @@ def se3_adjoint(T: jnp.ndarray) -> jnp.ndarray:
     top = jnp.concatenate([R, tR], axis=-1)
     bottom = jnp.concatenate([zeros, R], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy, float64) variants of the SE(3) maps.
+#
+# The per-frame motion-model bookkeeping runs on the HOST between device
+# programs; calling the jnp versions there executes ~100 tiny eager device
+# ops per frame, which on a remote-attached TPU costs ~130 ms/frame of pure
+# dispatch latency (measured in the r2 e2e bench — vs <0.1 ms in numpy).
+# These mirror se3_exp/se3_log above in float64.
+# ---------------------------------------------------------------------------
+
+
+def _np_sinc_coeffs(theta_sq: float):
+    import numpy as _np
+
+    if theta_sq < 1e-10:
+        t2 = theta_sq
+        return (1.0 - t2 / 6.0 + t2 * t2 / 120.0,
+                0.5 - t2 / 24.0 + t2 * t2 / 720.0,
+                1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0)
+    t = float(_np.sqrt(theta_sq))
+    return (_np.sin(t) / t,
+            (1.0 - _np.cos(t)) / theta_sq,
+            (t - _np.sin(t)) / (theta_sq * t))
+
+
+def _np_hat(w):
+    import numpy as _np
+
+    return _np.array([
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
+    ])
+
+
+def so3_log_np(R):
+    """Inverse Rodrigues, numpy float64, safe near 0 and pi (same branch
+    structure as so3_log)."""
+    import numpy as _np
+
+    R = _np.asarray(R, _np.float64)
+    cos_theta = float(_np.clip((_np.trace(R) - 1.0) * 0.5, -1.0, 1.0))
+    w = 0.5 * _np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]])
+    sin_theta = float(_np.linalg.norm(w))
+    theta = float(_np.arctan2(sin_theta, cos_theta))
+    if theta < 1e-7:
+        return w
+    if theta > _np.pi - 1e-3:
+        one_minus_cos = max(1.0 - cos_theta, 1e-12)
+        axis_abs = _np.sqrt(_np.maximum(
+            (_np.diag(R) - cos_theta) / one_minus_cos, 0.0))
+        s = _np.array([R[0, 1] + R[1, 0], R[0, 2] + R[2, 0],
+                       R[1, 2] + R[2, 1]])          # s01, s02, s12
+        sgn = lambda x: 1.0 if x >= 0 else -1.0
+        k = int(_np.argmax(axis_abs))
+        axis = axis_abs.copy()
+        if k == 0:
+            axis[1] *= sgn(s[0]); axis[2] *= sgn(s[1])
+        elif k == 1:
+            axis[0] *= sgn(s[0]); axis[2] *= sgn(s[2])
+        else:
+            axis[0] *= sgn(s[1]); axis[1] *= sgn(s[2])
+        if float(axis @ w) < 0:
+            axis = -axis
+        return axis / max(float(_np.linalg.norm(axis)), 1e-12) * theta
+    return w * (theta / sin_theta)
+
+
+def se3_exp_np(xi):
+    """(6,) tangent [t, w] -> (4, 4), numpy float64."""
+    import numpy as _np
+
+    xi = _np.asarray(xi, _np.float64)
+    t, w = xi[:3], xi[3:]
+    A, B, C = _np_sinc_coeffs(float(w @ w))
+    W = _np_hat(w)
+    W2 = W @ W
+    T = _np.eye(4)
+    T[:3, :3] = _np.eye(3) + A * W + B * W2
+    T[:3, 3] = (_np.eye(3) + B * W + C * W2) @ t
+    return T
+
+
+def se3_log_np(T):
+    """(4, 4) -> (6,) tangent [t, w], numpy float64."""
+    import numpy as _np
+
+    T = _np.asarray(T, _np.float64)
+    w = so3_log_np(T[:3, :3])
+    theta_sq = float(w @ w)
+    A, B, _ = _np_sinc_coeffs(theta_sq)
+    W = _np_hat(w)
+    W2 = W @ W
+    if theta_sq < 1e-10:
+        coef = 1.0 / 12.0 + theta_sq / 720.0
+    else:
+        coef = (1.0 - A / (2.0 * B)) / theta_sq
+    Vinv = _np.eye(3) - 0.5 * W + coef * W2
+    return _np.concatenate([Vinv @ T[:3, 3], w])

@@ -9,6 +9,9 @@ The reference ingests stereo pairs from rosbags or live ROS topics
   configs 1/3/5);
 * ``StereoDirDataset`` — two directories of time-sorted images + optional
   timestamp file (Malaga / RobotCar exports);
+* ``UnsyncedStereoDataset`` — two INDEPENDENTLY timestamped streams
+  paired by approximate-time sync (io.sync) — the bag-replay / live-topic
+  ingestion model of the reference (main.cpp:320-345, 355-362);
 * ``SyntheticStereoDataset`` (io.synthetic) — ground-truth test bed.
 
 Decoding uses the native C++ loader for PGM/PPM (io.native) and cv2/PIL
@@ -70,6 +73,55 @@ class StereoDirDataset:
             "img0": _imread_gray(self.files0[i]),
             "img1": _imread_gray(self.files1[i]),
             "timestamp": self.times[i],
+            "incoming_id": i,
+        }
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.frame(i)
+
+
+class UnsyncedStereoDataset:
+    """Bag-like replay of two independently-timestamped image streams.
+
+    Each stream is a directory plus a timestamp file (one stamp per
+    sorted image, seconds). Pairs are formed by
+    :class:`direct_stereo_slam_tpu.io.sync.ApproximateTimeSync` with the
+    given ``slop`` — frames with no partner within slop are dropped
+    (observable via ``dropped``), exactly the behavior of the reference's
+    ``message_filters::ApproximateTime`` callback path. The emitted
+    timestamp is the left-camera stamp."""
+
+    def __init__(self, dir0: str, dir1: str, times0: str, times1: str,
+                 slop: float = 0.01, queue_size: int = 10, pattern: str = "*"):
+        from .sync import ApproximateTimeSync, replay
+
+        files0 = sorted(glob.glob(os.path.join(dir0, pattern)))
+        files1 = sorted(glob.glob(os.path.join(dir1, pattern)))
+
+        def load_times(path, n):
+            with open(path) as f:
+                ts = [float(x) for x in f.read().split()]
+            if len(ts) < n:
+                raise ValueError(f"{path}: {len(ts)} stamps for {n} images")
+            return ts[:n]
+
+        t0 = load_times(times0, len(files0))
+        t1 = load_times(times1, len(files1))
+        self.pairs = list(replay(
+            [list(zip(t0, files0)), list(zip(t1, files1))],
+            slop, queue_size))
+        self.dropped = (len(files0) + len(files1)) - 2 * len(self.pairs)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def frame(self, i: int):
+        ta, f0, tb, f1 = self.pairs[i]
+        return {
+            "img0": _imread_gray(f0),
+            "img1": _imread_gray(f1),
+            "timestamp": ta,
             "incoming_id": i,
         }
 

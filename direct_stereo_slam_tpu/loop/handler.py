@@ -187,24 +187,30 @@ class LoopHandler:
         tfm_pca = np.linalg.inv(sc.tfm_pca_rig) @ matched.tfm_pca_rig
 
         # ---- geometric refinement + photometric verification -------------
-        # The reference runs direct alignment from the PCA seed and falls
-        # back to ICP-only acceptance (cpp:270-296). With LiDAR-dense scans
-        # that ordering works; with the sparse photometric point clouds
-        # here the PCA seed is meters off (outside the direct-alignment
-        # basin) and a sparse-cloud ICP fitness alone can "verify" a wrong
-        # alignment. So: ICP REFINES the PCA seed first, then direct
-        # alignment — tried from both the ICP-refined seed and the
-        # odometry-relative seed (drift-level accurate for true loops) —
-        # is the acceptance gate whenever the current pyramid exists.
-        with self.timers.span("icp"):
-            icp_ok, tfm_icp, fitness = icp_mod.icp(
-                matched.pts_spherical, pts_spherical, tfm_pca,
-                self.cfg.loop.icp_max_iterations,
-                self.cfg.loop.icp_max_corr_dist,
-                self.cfg.loop.icp_transformation_eps,
-                self.cfg.loop.icp_thres,
-            )
+        # Default policy: the reference runs direct alignment from the PCA
+        # seed and falls back to ICP-only acceptance (cpp:270-296). With
+        # LiDAR-dense scans that ordering works; with the sparse
+        # photometric point clouds here the PCA seed is meters off
+        # (outside the direct-alignment basin) and a sparse-cloud ICP
+        # fitness alone can "verify" a wrong alignment. So: ICP REFINES
+        # the PCA seed first, then direct alignment — tried from both the
+        # ICP-refined seed and the odometry-relative seed — is the
+        # acceptance gate whenever the current pyramid exists.
+        # cfg.loop.reference_acceptance=True switches to the reference's
+        # exact ordering (A/B harness; deltas in PARITY.md).
+        ref_mode = self.cfg.loop.reference_acceptance
         tfm_odo = np.linalg.inv(lf.T_wc) @ matched.T_wc
+
+        icp_ok, tfm_icp, fitness = False, tfm_pca, float("inf")
+        if not ref_mode:
+            with self.timers.span("icp"):
+                icp_ok, tfm_icp, fitness = icp_mod.icp(
+                    matched.pts_spherical, pts_spherical, tfm_pca,
+                    self.cfg.loop.icp_max_iterations,
+                    self.cfg.loop.icp_max_corr_dist,
+                    self.cfg.loop.icp_transformation_eps,
+                    self.cfg.loop.icp_thres,
+                )
 
         direct_ok = False
         tfm_cur_matched = tfm_icp if icp_ok else tfm_pca
@@ -225,7 +231,13 @@ class LoopHandler:
                 if ncols < cols.shape[1]:
                     cols[:k, ncols:] = matched.pts_colors[:k, -1:]
                 mask[:k] = True
-                for seed in ((tfm_icp, tfm_odo) if icp_ok else (tfm_pca, tfm_odo)):
+                if ref_mode:
+                    seeds = (tfm_pca,)
+                elif icp_ok:
+                    seeds = (tfm_icp, tfm_odo)
+                else:
+                    seeds = (tfm_pca, tfm_odo)
+                for seed in seeds:
                     res = pose_estimator.estimate(
                         tuple(mkf.pyr), jnp.asarray(px), jnp.asarray(py),
                         jnp.asarray(pz), jnp.asarray(cols), jnp.asarray(mask),
@@ -237,11 +249,23 @@ class LoopHandler:
                         direct_ok = True
                         tfm_cur_matched = np.asarray(res.T, np.float64)
                         pose_error = float(res.pose_error) * self.cfg.loop.direct_error_scale
-            # pyramid available but photometric verification failed ->
-            # reject even if ICP fitness passed (sparse-cloud ICP is not
-            # trustworthy on its own; see PARITY.md loop-recall notes)
-            icp_ok = False
-        elif icp_ok:
+            if not ref_mode:
+                # pyramid available but photometric verification failed ->
+                # reject even if ICP fitness passed (sparse-cloud ICP is
+                # not trustworthy on its own; see PARITY.md)
+                icp_ok = False
+        if ref_mode and not direct_ok:
+            # reference fallback: ICP from the PCA seed, accepted on
+            # fitness alone (LoopHandler.cpp:286-296)
+            with self.timers.span("icp"):
+                icp_ok, tfm_icp, fitness = icp_mod.icp(
+                    matched.pts_spherical, pts_spherical, tfm_pca,
+                    self.cfg.loop.icp_max_iterations,
+                    self.cfg.loop.icp_max_corr_dist,
+                    self.cfg.loop.icp_transformation_eps,
+                    self.cfg.loop.icp_thres,
+                )
+        if not direct_ok and icp_ok:
             tfm_cur_matched = tfm_icp
             pose_error = fitness * self.cfg.loop.icp_error_scale
 

@@ -598,8 +598,7 @@ def _step_converged(x: jnp.ndarray, x_d: jnp.ndarray, state: BAState, cfg: SLAMC
     )
 
 
-@partial(jax.jit, static_argnums=(1,))
-def optimize(state: BAState, cfg: SLAMConfig, iterations):
+def _optimize_impl(state: BAState, cfg: SLAMConfig, iterations):
     """The windowed BA loop (FrontEndOptimize.cpp:332-486). LM with an
     energy-based accept/reject (the reference's non-force-accept branch,
     FrontEndOptimize.cpp:427-449): a rejected step restores the backup and
@@ -611,7 +610,15 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations):
     frontend varies it with window size (20/15/6, FrontEnd.cpp:768-772) and
     a static bound would compile three separate BA programs.
 
-    Returns (state, rmse, energy_finite)."""
+    Cost structure: ONE linearization per iteration (the carry threads the
+    current state's Linearization: an accepted step's lin_new becomes the
+    next iteration's lin, a rejected step keeps the old one) plus one for
+    the initial state, and the loop exits early once the step converges
+    after min_opt_iterations (FrontEndOptimize.cpp:441-446 canbreak) — the
+    naive 2-per-iteration + post-loop form cost ~2.4x the linearizations
+    at the 20-iteration early-window setting (measured on chip).
+
+    Returns (state, rmse, energy_finite, final Linearization)."""
 
     def total_energy(st, lin):
         x = _state_vector(st)
@@ -624,24 +631,26 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations):
 
     force_accept = cfg.ba.solver_force_accept_step
 
+    def select(pred, a_tree, b_tree):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(pred, (1,) * a.ndim) if a.ndim else pred, a, b
+            ),
+            a_tree, b_tree,
+        )
+
     def body(carry):
-        st, lam, e_old, it = carry
-        lin = linearize(st, cfg)
+        st, lin, lam, e_old, it, _ = carry
         x, x_d = solve_step(st, lin, lam, cfg)
         converged = _step_converged(x, x_d, st, cfg)
         st_new = apply_step(st, x, x_d)
+        done = converged & (it + 1 >= cfg.ba.min_opt_iterations)
         if force_accept:
-            # DSO default: always take the step (lambda still shrinks);
-            # skip the extra energy linearization entirely.
+            # DSO default: always take the step (lambda still shrinks)
             do_apply = (~converged) | (it < cfg.ba.min_opt_iterations)
-            st2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    jnp.reshape(do_apply, (1,) * a.ndim) if a.ndim
-                    else do_apply, a, b
-                ),
-                st_new, st,
-            )
-            return (st2, lam * 0.25, e_old, it + 1)
+            st2 = select(do_apply, st_new, st)
+            lin2 = linearize(st2, cfg)
+            return (st2, lin2, lam * 0.25, e_old, it + 1, done)
         lin_new = linearize(st_new, cfg)
         e_new = total_energy(st_new, lin_new)
         # guard against the outlier-plateau escape: saturated residuals
@@ -650,32 +659,35 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations):
         # count to survive as well
         accept = (e_new < e_old) & (
             lin_new.num_terms >= 0.3 * lin.num_terms)
-        st2 = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(
-                jnp.reshape(accept, (1,) * a.ndim) if a.ndim else accept, a, b
-            ),
-            st_new, st,
-        )
+        st2 = select(accept, st_new, st)
+        lin2 = select(accept, lin_new, lin)
         lam2 = jnp.where(accept, lam * 0.25, jnp.minimum(lam * 100.0, 1e4))
         e2 = jnp.where(accept, e_new, e_old)
-        return (st2, lam2, e2, it + 1)
+        return (st2, lin2, lam2, e2, it + 1, done)
 
     lin0 = linearize(state, cfg)
     e0 = total_energy(state, lin0)
-    # lam seeded from a data-derived zero so the while carry's vma typing is
-    # equal on both sides under jax.shard_map (no-op otherwise)
-    lam0 = jnp.nan_to_num(e0) * 0.0 + 1e-1
+    # lam/done seeded from a data-derived zero so the while carry's vma
+    # typing is equal on both sides under jax.shard_map (no-op otherwise)
+    zv = jnp.nan_to_num(e0) * 0.0
+    lam0 = zv + 1e-1
     n_it = jnp.asarray(iterations, jnp.int32)
-    state, _, _, _ = jax.lax.while_loop(
-        lambda c: c[3] < n_it, body,
-        (state, lam0, e0, jnp.int32(0)),
+    state, lin, _, _, _, _ = jax.lax.while_loop(
+        lambda c: (c[4] < n_it) & ~c[5], body,
+        (state, lin0, lam0, e0, jnp.int32(0), zv > 1.0),
     )
 
-    # final linearization: energy / rmse / residual states
-    lin = linearize(state, cfg)
+    # the carried linearization matches the final state: no extra pass
     state = state._replace(p_res_good=lin.pair_good)
     rmse = jnp.sqrt(lin.energy / jnp.maximum(lin.num_terms, 1.0))
-    return state, rmse, jnp.isfinite(lin.energy)
+    return state, rmse, jnp.isfinite(lin.energy), lin
+
+
+@partial(jax.jit, static_argnums=(1,))
+def optimize(state: BAState, cfg: SLAMConfig, iterations):
+    """Windowed BA; see _optimize_impl. Returns (state, rmse, ok)."""
+    state, rmse, ok, _ = _optimize_impl(state, cfg, iterations)
+    return state, rmse, ok
 
 
 # ---------------------------------------------------------------------------
@@ -687,7 +699,15 @@ def optimize(state: BAState, cfg: SLAMConfig, iterations):
 def set_new_frame_energy_th(state: BAState, newest_slot: jnp.ndarray, cfg: SLAMConfig):
     """Percentile-based frame energy threshold for the newest frame
     (FrontEndOptimize.cpp:79-120)."""
-    lin = linearize(state, cfg)
+    return set_new_frame_energy_th_from_lin(
+        state, linearize(state, cfg), newest_slot, cfg)
+
+
+def set_new_frame_energy_th_from_lin(state: BAState, lin: "Linearization",
+                                     newest_slot, cfg: SLAMConfig):
+    """Same, reusing an existing linearization of ``state`` (the fused
+    keyframe program threads the BA loop's final lin here instead of
+    paying another full pass)."""
     is_target = jnp.arange(state.num_slots)[None, :] == newest_slot
     # DSO quantiles over ALL residual energies toward the newest frame
     # (state_NewEnergyWithOutlier), NOT the already-thresholded survivors —
@@ -838,21 +858,31 @@ def optimize_keyframe(state: BAState, cfg: SLAMConfig, iterations,
     """Fused keyframe BA step: optimize -> percentile energy threshold for
     the newest frame -> FEJ reset -> drop residual-less points, all in ONE
     dispatch chain so the host pulls (rmse, ok) once instead of syncing
-    between four programs (the stages mirror FrontEnd.cpp:773-798)."""
-    state, rmse, ok = optimize(state, cfg, iterations)
-    state = set_new_frame_energy_th(state, jnp.int32(newest_slot), cfg)
+    between four programs (the stages mirror FrontEnd.cpp:773-798). The BA
+    loop's final linearization is reused for the energy threshold and
+    returned as the per-point idepth Hessian for the tracker template
+    (DSO likewise reuses the optimization-time idepth_hessian in
+    makeCoarseDepthL0, TAS.cpp:158 — it does not re-linearize post-FEJ).
+
+    Returns (state, rmse, ok, Hdd [NP])."""
+    state, rmse, ok, lin = _optimize_impl(state, cfg, iterations)
+    state = set_new_frame_energy_th_from_lin(
+        state, lin, jnp.int32(newest_slot), cfg)
     state = reset_fej_newest(state, jnp.int32(newest_slot))
     no_res = ~jnp.any(state.p_res_good & state.p_valid[:, None], axis=1)
     state = state._replace(p_valid=state.p_valid & ~no_res)
-    return state, rmse, ok
+    return state, rmse, ok, lin.Hdd
 
 
 @partial(jax.jit, static_argnums=(1,))
-def template_inputs(state: BAState, cfg: SLAMConfig, ref_slot):
+def template_inputs(state: BAState, cfg: SLAMConfig, ref_slot, hdd=None):
     """Device-side makeCoarseDepthL0 input prep: project every window
     point into the reference KF and weight by the BA idepth hessian
-    (TAS.cpp:143-176) — no host pull on the template path."""
-    lin = linearize(state, cfg)
+    (TAS.cpp:143-176) — no host pull on the template path. Pass ``hdd``
+    (the BA loop's final per-point idepth Hessian, from optimize_keyframe)
+    to skip the fallback re-linearization."""
+    if hdd is None:
+        hdd = linearize(state, cfg).Hdd
     fx0, fy0, cx0, cy0 = state.calib_current()
     T_all = state.T_current()                      # [W, 4, 4] worldToCam
     T_ref = T_all[ref_slot]
@@ -871,7 +901,7 @@ def template_inputs(state: BAState, cfg: SLAMConfig, ref_slot):
     new_id = 1.0 / jnp.maximum(pt[:, 2], 1e-6)
     valid = state.p_valid & (pt[:, 2] > 0)
     # weight = sqrt(1e-3 / HdiF) = sqrt(1e-3 * Hdd) (TAS.cpp:158)
-    w = jnp.sqrt(1e-3 * jnp.maximum(lin.Hdd, 1e-9))
+    w = jnp.sqrt(1e-3 * jnp.maximum(hdd, 1e-9))
     return proj_u, proj_v, new_id, w, valid
 
 

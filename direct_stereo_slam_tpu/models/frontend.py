@@ -204,6 +204,7 @@ class FrontEnd:
         self.template: Optional[TrackerTemplate] = None
         self.template_kf_slot = -1
         self.template_ref_aff = AffLight(jnp.float32(0.0), jnp.float32(0.0))
+        self.template_ref_aff_np = np.zeros(2, np.float32)
         self.template_ref_exposure = jnp.float32(1.0)
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = 1e9
@@ -591,8 +592,10 @@ class FrontEnd:
                 0.95 / kc.keyframes_per_second
 
         w, h = self.intr0.w[0], self.intr0.h[0]
-        ref_aff = np.array([
-            float(self.template_ref_aff.a), float(self.template_ref_aff.b)])
+        # host copy of the reference affine params: float() on the jnp
+        # scalars is a blocking device pull (one RTT each; measured 14 ms
+        # per KF decision on the tunneled chip)
+        ref_aff = self.template_ref_aff_np
         a_rel = math.exp(shell.aff[0] - ref_aff[0])
         flow_t, _, flow_rt = shell._flow
         score = (
@@ -697,12 +700,12 @@ class FrontEnd:
         elif n_active_frames < 4:
             iters = 15
         with self.timers.span("dso_opt"):
-            self.ba_state, rmse_d, ok_d = ba.optimize_keyframe(
+            self.ba_state, rmse_d, ok_d, hdd_d = ba.optimize_keyframe(
                 self.ba_state, cfg, iters, slot)
 
         # ---- template chain + speculative scale dispatch (device) ----------
         with self.timers.span("template"):
-            ti = ba.template_inputs(self.ba_state, cfg, slot)
+            ti = ba.template_inputs(self.ba_state, cfg, slot, hdd_d)
             tmpl = build_template(
                 ti[0], ti[1], ti[2], ti[3], pyr0.data[0][..., 0],
                 self.levels, self.budgets, valid=ti[4])
@@ -752,6 +755,7 @@ class FrontEnd:
         self.template_kf_slot = slot
         aff = self._views_cache[1][slot]
         self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))
+        self.template_ref_aff_np = np.asarray(aff[:2], np.float32)
         self.template_ref_exposure = jnp.float32(1.0)
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = 1e9
@@ -1136,6 +1140,7 @@ class FrontEnd:
         self.template_kf_slot = ref_slot
         aff = self._views_np()[1][ref_slot]
         self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))
+        self.template_ref_aff_np = np.asarray(aff[:2], np.float32)
         self.template_ref_exposure = jnp.float32(1.0)
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = 1e9

@@ -388,10 +388,13 @@ def make_motion_tries(
 
 
 def _half_motion(T: np.ndarray) -> np.ndarray:
-    """SE3::exp(0.5 * log(T))^{-1} (reference FrontEnd.cpp:156-157)."""
-    xi = np.asarray(lie.se3_log(jnp.asarray(T, dtype=jnp.float32)), dtype=np.float64)
-    half = np.asarray(lie.se3_exp(jnp.asarray(0.5 * xi, dtype=jnp.float32)))
-    return np.linalg.inv(half.astype(np.float64))
+    """SE3::exp(0.5 * log(T))^{-1} (reference FrontEnd.cpp:156-157).
+
+    Pure numpy: this runs on the per-frame host path, where the eager jnp
+    log/exp cost ~130 ms/frame of dispatch latency on a remote-attached
+    chip (see lie.se3_log_np)."""
+    xi = lie.se3_log_np(T)
+    return np.linalg.inv(lie.se3_exp_np(0.5 * xi))
 
 
 def select_winner(results: TrackResult, last_rmse: float, cfg: SLAMConfig):
@@ -408,3 +411,32 @@ def select_winner(results: TrackResult, last_rmse: float, cfg: SLAMConfig):
         masked = np.where(ok, res0, np.inf)
         return int(np.argmin(masked)), True
     return 0, False
+
+
+def select_winner_serial(results: TrackResult, last_rmse: float,
+                         cfg: SLAMConfig):
+    """Reference-exact serial try-list walk over already-evaluated
+    candidates (FrontEnd.cpp:198-248): the winner updates whenever a good
+    try strictly beats the per-level achievedRes minimum, achievedRes
+    tightens element-wise on every good-so-far try, and the walk breaks
+    once achievedRes[0] < re_track_threshold * last_rmse. Candidates past
+    the break point are never consulted, so the chosen index can differ
+    from ``select_winner``'s first-below-threshold / global-argmin rule.
+    (Not emulated: the reference's mid-LM coarse-level abort, which only
+    changes whether a losing try finishes, not the comparison itself.)"""
+    res = np.asarray(results.res_per_level)        # [N, L]
+    ok = np.asarray(results.ok)
+    achieved = np.full(res.shape[1], np.nan)
+    thresh = cfg.tracker.re_track_threshold * last_rmse
+    best, have = 0, False
+    for i in range(res.shape[0]):
+        r0 = res[i, 0]
+        bar = achieved[0] if np.isfinite(achieved[0]) else np.inf
+        if ok[i] and np.isfinite(r0) and not (r0 >= bar):
+            best, have = i, True
+        if have:
+            upd = ~np.isfinite(achieved) | (achieved > res[i])
+            achieved = np.where(upd, res[i], achieved)
+        if have and achieved[0] < thresh:
+            break
+    return best, have
