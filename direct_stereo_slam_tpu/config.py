@@ -210,6 +210,17 @@ class LoopConfig:
     # fixed budgets
     max_scan_points: int = 4096
     max_loop_points: int = 2048            # sparse pts per loop frame
+    # scan densification: export ALL non-outlier points leaving the window
+    # to the loop handler's rolling cloud, not only the Schur-marginalized
+    # subset (the reference uses pointHessiansMarginalized only,
+    # LoopHandler.cpp:166-181). Weak-idepth-Hessian points still carry
+    # plausible geometry, so the flag can only add scan density on scenes
+    # where points fail the min_idepth_h_marg bar (texture-poor /
+    # low-parallax). On the well-textured 80-frame synthetic loop demo it
+    # is a measured NO-OP (every leaving point marginalizes; identical
+    # scans and loops) — kept ON as a free robustness margin; False
+    # restores exact reference behavior.
+    densify_scans: bool = True
     # loop acceptance policy: False (default) = ICP refines the PCA seed,
     # direct photometric alignment (from ICP and odometry seeds) is the
     # acceptance gate whenever the current pyramid exists, ICP-only accept

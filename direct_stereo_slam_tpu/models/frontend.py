@@ -58,18 +58,6 @@ from .tracker import (
 _HI = jax.lax.Precision.HIGHEST
 
 
-@jax.jit
-def _insert_candidates(state, pu, pv, idepth, color, weight, src, idx,
-                       valid, host_slot):
-    """Gather accepted immature candidates and insert them into the point
-    pool in ONE compiled dispatch (fixed-length padded batch; invalid
-    lanes route out of bounds and are dropped by the scatter)."""
-    return ba.add_points(
-        state, idx, host_slot,
-        pu[src], pv[src], idepth[src], color[src], weight[src], valid,
-    )
-
-
 @partial(jax.jit, static_argnums=(3, 4))
 def _halfres_distance_map(state, new_slot, K1, h2, w2):
     """Project every active point into the new KF at half resolution and
@@ -94,12 +82,11 @@ def _halfres_distance_map(state, new_slot, K1, h2, w2):
     return build_distance_map(pu2, pv2, proj_ok, h2, w2)
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
-def _gate_candidates(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
-                     cfg, w2, h2):
+def _gate_impl(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
+               cfg, w2, h2):
     """Device-side activation gate (FrontEnd.cpp:374-443): project each
     candidate into the new KF at half res with its mid idepth, look up the
-    distance map, and emit (ok, drop) masks — one pull for all slots."""
+    distance map, and emit (ok, drop) masks."""
     can = immature.can_activate(pts, cfg)
     u1 = (pts.u + 0.5) / 2.0 - 0.5
     v1 = (pts.v + 0.5) / 2.0 - 0.5
@@ -116,6 +103,35 @@ def _gate_candidates(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
         (pts.status == immature.IPS_OUTLIER)
         | (~in_b & (pts.status == immature.IPS_OOB)))
     return ok, drop
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _gate_candidates_all(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
+                         cfg, w2, h2):
+    """Gate every slot's candidates in ONE dispatch (stacked [S, NI])."""
+    fn = lambda p, ok, k, t: _gate_impl(
+        p, ok, dist_map, k, t, min_act_dist, cfg, w2, h2)
+    return jax.vmap(fn)(pts, act_ok, KRKi1, Kt1)
+
+
+@jax.jit
+def _insert_candidates_all(state, imm, act_idepth, src_slot, src_lane,
+                           dst_idx, valid, host):
+    """Insert accepted candidates from EVERY slot into the point pool in
+    ONE scatter (fixed pool-size batch; invalid lanes drop)."""
+    return ba.add_points(
+        state, dst_idx, host,
+        imm.u[src_slot, src_lane], imm.v[src_slot, src_lane],
+        act_idepth[src_slot, src_lane],
+        imm.color[src_slot, src_lane], imm.weight[src_slot, src_lane],
+        valid,
+    )
+
+
+@jax.jit
+def _consume_candidates(imm, consumed):
+    """Invalidate activated/dropped candidates ([S, NI] mask)."""
+    return imm._replace(valid=imm.valid & ~consumed)
 
 
 @jax.jit
@@ -197,7 +213,14 @@ class FrontEnd:
         self.ba_state = ba.empty_state(self.n_slots, self.pool, H, W, calib)
         self.budgets = default_budgets(W, H, self.levels)
 
-        self.immatures: Dict[int, immature.ImmaturePoints] = {}
+        # ONE stacked [S, NI] candidate pytree + a host set of live slots
+        # (a dict of per-slot pytrees costs one device dispatch per slot
+        # per stage; the stacked form makes trace/activate/gate single
+        # vmapped dispatches — see immature.py "Stacked-window batch forms")
+        self.imm_budget = cfg.ba.max_immature_per_frame
+        self.immatures: immature.ImmaturePoints = immature.empty_batch(
+            self.n_slots, self.imm_budget)
+        self.imm_slots: set = set()
         self.pyramids: Dict[int, Pyramid] = {}   # per-slot full pyramids
         # (kept for loop-closure export: per-level colors + direct alignment)
         self.slot_stats: Dict[int, Dict[str, int]] = {}
@@ -338,7 +361,7 @@ class FrontEnd:
             self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2), 1.0,
             pyr0.data[0],
         )
-        # fixed-length padded batch (see _insert_candidates): one compiled
+        # fixed-length padded batch (see _insert_candidates_all): one compiled
         # shape even across reinits with different survivor counts
         P = self.cfg.ba.max_points_per_frame
         cap = min(P, len(valid))
@@ -615,21 +638,31 @@ class FrontEnd:
             self._trace_all(shell.T_wc, pyr0.data[0], shell.aff)
 
     def _trace_all(self, T_wc_new: np.ndarray, target_planes, new_aff):
+        """traceOn over every window slot: ONE vmapped dispatch (inactive
+        slots carry valid=False lanes; their identity transforms are
+        harmless)."""
+        if not self.imm_slots:
+            return
         K = np.asarray(self.intr0.K(0), np.float32)
         Ki = np.linalg.inv(K)
         T_cw_new = np.linalg.inv(T_wc_new)
         aff_all = self._views_np()[1]
-        for slot in list(self.immatures.keys()):
-            T_w_host = self._kf_pose(slot)
-            T_nh = T_cw_new @ T_w_host
-            a_rel = float(np.exp(new_aff[0] - aff_all[slot, 0]))
-            b_rel = float(new_aff[1] - a_rel * aff_all[slot, 1])
-            self.immatures[slot] = immature.trace_points(
-                self.immatures[slot], target_planes,
-                jnp.asarray(K @ T_nh[:3, :3] @ Ki, jnp.float32),
-                jnp.asarray(K @ T_nh[:3, 3], jnp.float32),
-                jnp.float32(a_rel), jnp.float32(b_rel), self.cfg,
-            )
+        S = self.n_slots
+        KRKi = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
+        Kt = np.zeros((S, 3), np.float32)
+        a_rel = np.ones(S, np.float32)
+        b_rel = np.zeros(S, np.float32)
+        for slot in self.imm_slots:
+            T_nh = T_cw_new @ self._kf_pose(slot)
+            KRKi[slot] = K @ T_nh[:3, :3] @ Ki
+            Kt[slot] = K @ T_nh[:3, 3]
+            a_rel[slot] = np.exp(new_aff[0] - aff_all[slot, 0])
+            b_rel[slot] = new_aff[1] - a_rel[slot] * aff_all[slot, 1]
+        self.immatures = immature.trace_points_all(
+            self.immatures, target_planes,
+            jnp.asarray(KRKi), jnp.asarray(Kt),
+            jnp.asarray(a_rel), jnp.asarray(b_rel), self.cfg,
+        )
 
     # ------------------------------------------------------------------
     # keyframe pipeline (FrontEnd.cpp:721-840)
@@ -650,8 +683,7 @@ class FrontEnd:
 
         # ---- BUNDLE 1: pre-insert views + immature counts ------------------
         st = self.ba_state
-        imm_slots = [s for s in self.immatures.keys()]
-        counts_dev = tuple(jnp.sum(self.immatures[s].valid) for s in imm_slots)
+        counts_dev = jnp.sum(self.immatures.valid, axis=1)   # [S], 1 dispatch
         if getattr(self, "_views_cache_key", None) is not st:
             views_dev = ba.current_views(st)
             pulled = jax.device_get((views_dev, counts_dev))
@@ -660,7 +692,7 @@ class FrontEnd:
             counts = pulled[1]
         else:
             counts = jax.device_get(counts_dev)
-        imm_counts = dict(zip(imm_slots, counts))
+        imm_counts = {s: int(counts[s]) for s in self.imm_slots}
 
         with self.timers.span("trace"):
             self._trace_all(shell.T_wc, pyr0.data[0], shell.aff)
@@ -834,14 +866,21 @@ class FrontEnd:
                     self.ba_state, jnp.asarray(marg), cfg)
             if drop.any():
                 self.ba_state = ba.drop_points(self.ba_state, jnp.asarray(drop))
-            self._last_marg_mask = marg  # for the loop handler's point export
+            # loop-handler point export: Schur-marginalized subset only
+            # (reference pointHessiansMarginalized, LoopHandler.cpp:166)
+            # or, with densify_scans, every non-outlier point leaving the
+            # window — weak-Hessian geometry still densifies the scans
+            self._last_marg_mask = leaving if cfg.loop.densify_scans else marg
 
         # ---- new immature traces (FrontEnd.cpp:824, 936-962) ---------------
         with self.timers.span("feature_detect"):
             self.pot = adapt_potential(self.pot, got,
                                        cfg.ba.desired_immature_density)
-            self.immatures[new_slot] = immature.create_points(
-                pyr0.data[0], sel_map, cfg.ba.max_immature_per_frame)
+            self.immatures = immature.set_slot(
+                self.immatures, jnp.int32(new_slot),
+                immature.create_points(pyr0.data[0], sel_map,
+                                       self.imm_budget))
+            self.imm_slots.add(new_slot)
 
         # ---- marginalize flagged frames (FrontEndMarginalize.cpp:148-215) --
         with self.timers.span("frame_marg"):
@@ -868,7 +907,7 @@ class FrontEnd:
                 if restart:
                     dso_error = float("nan")
 
-                sel = marg & (p_host == mslot)
+                sel = self._last_marg_mask & (p_host == mslot)
                 pu = pu_a[sel]
                 pv = pv_a[sel]
                 pid = np.maximum(pid_a[sel], 1e-6)
@@ -897,10 +936,15 @@ class FrontEnd:
                 ))
                 self.ba_state = ba.marginalize_frame(
                     self.ba_state, jnp.int32(mslot))
-                self.immatures.pop(mslot, None)
+                self.imm_slots.discard(mslot)
                 self.pyramids.pop(mslot, None)
                 self.slot_stats.pop(mslot, None)
                 self.scale_errors.pop(mslot, None)
+            if flagged:
+                clear = np.zeros(self.n_slots, bool)
+                clear[flagged] = True
+                self.immatures = immature.clear_slots(
+                    self.immatures, jnp.asarray(clear))
 
         # ---- patch the views cache (validity only; poses untouched) --------
         fv = views[3].copy()
@@ -1019,76 +1063,82 @@ class FrontEnd:
         views_dev = ba.current_views(st)
         T_cw_j, aff_j, calib_j = views_dev[0], views_dev[1], views_dev[2]
 
-        # Phases: (1) enqueue activation + gating device work for every
-        # slot (dispatches are cheap, ~0.4 ms even remote-attached);
-        # (2) ONE blocking pull of per-slot (ok, drop) masks — bundle 2;
-        # (3) host insertion bookkeeping + async fixed-shape inserts.
-        slots_todo = [s for s in self.immatures.keys() if s != new_slot]
+        # Phases: (1) enqueue activation + gating for ALL slots as two
+        # vmapped dispatches (a per-slot loop pays the multi-ms dispatch
+        # delivery latency 3x7 times per KF on a remote-attached chip);
+        # (2) ONE blocking pull of the stacked (ok, drop) masks — bundle 2;
+        # (3) host insertion bookkeeping, then ONE fused pool scatter and
+        # ONE candidate-consumption update.
+        slots_todo = [s for s in self.imm_slots if s != new_slot]
         if not slots_todo:
             return
+        S = self.n_slots
         T_all_old = pre_views[0]
         K1i = np.linalg.inv(K)
-        acts = {}
-        gates = {}
+        acts = immature.activate_points_all(
+            self.immatures, jnp.arange(S, dtype=jnp.int32), images,
+            frame_valid, T_cw_j, aff_j, calib_j, cfg)
+        # host 4x4 math from the bundle-1 snapshot (old slots' poses have
+        # not moved since) + the new KF's host-known pose
+        KRKi1 = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
+        Kt1 = np.zeros((S, 3), np.float32)
         for slot in slots_todo:
-            pts = self.immatures[slot]
-            acts[slot] = immature.activate_points(
-                pts, jnp.int32(slot), images, frame_valid,
-                T_cw_j, aff_j, calib_j, cfg,
-            )
-            # host 4x4 math from the bundle-1 snapshot (old slots' poses
-            # have not moved since) + the new KF's host-known pose
             T_nh1 = T_cw_new @ np.linalg.inv(T_all_old[slot])
-            KRKi1 = K @ T_nh1[:3, :3] @ K1i
-            Kt1 = K @ T_nh1[:3, 3]
-            gates[slot] = _gate_candidates(
-                pts, acts[slot].ok, dist_map,
-                jnp.asarray(KRKi1, jnp.float32), jnp.asarray(Kt1, jnp.float32),
-                jnp.float32(self.current_min_act_dist), cfg, w2, h2)
+            KRKi1[slot] = K @ T_nh1[:3, :3] @ K1i
+            Kt1[slot] = K @ T_nh1[:3, 3]
+        ok_d, drop_d = _gate_candidates_all(
+            self.immatures, acts.ok, dist_map,
+            jnp.asarray(KRKi1), jnp.asarray(Kt1),
+            jnp.float32(self.current_min_act_dist), cfg, w2, h2)
 
-        pulled = jax.device_get(tuple(gates[s] for s in slots_todo))
+        ok_all, drop_all = jax.device_get((ok_d, drop_d))   # bundle 2
 
+        # insert accepted into free pool rows: the host's own segment
+        # first (locality), then OVERFLOW into any other free rows — the
+        # pool is one shared budget (the BA assembly groups by p_host via
+        # one-hot, not by segment), so a well-textured KF is not capped at
+        # P while other segments sit empty. All slots' accepted candidates
+        # ride ONE fixed-size (pool-length, padded) scatter.
         P = self.cfg.ba.max_points_per_frame
         pvalid_a = np.asarray(pre_views[5])
-        free_rows = ~pvalid_a.copy()      # shared across slots (overflow)
-        for i, slot in enumerate(slots_todo):
-            pts = self.immatures[slot]
-            ok, drop = pulled[i]
+        free_rows = ~pvalid_a.copy()      # decremented across slots
+        B = self.pool
+        src_slot = np.zeros(B, np.int32)
+        src_lane = np.zeros(B, np.int32)
+        dst_idx = np.zeros(B, np.int32)
+        host = np.zeros(B, np.int32)
+        n_fill = 0
+        consumed = np.zeros_like(ok_all)
+        for slot in slots_todo:
+            ok = ok_all[slot]
+            drop = drop_all[slot]
+            consumed[slot] = ok | drop
             if not ok.any():
-                if drop.any():
-                    self.immatures[slot] = pts._replace(
-                        valid=pts.valid & ~jnp.asarray(drop))
                 continue
-            # insert accepted into free pool rows: the host's own segment
-            # first (locality), then OVERFLOW into any other free rows —
-            # the pool is one shared budget (the BA assembly groups by
-            # p_host via one-hot, not by segment), so a well-textured KF
-            # is not capped at P while other segments sit empty.
-            # FIXED-length batch (padded, valid=False lanes dropped in the
-            # scatter) so the insert is ONE jitted dispatch with a single
-            # compiled shape regardless of how many points activate.
-            # `free_rows` is decremented across slots within this call
-            # (overflow makes segments non-disjoint).
             own = np.nonzero(free_rows[slot * P:(slot + 1) * P])[0] + slot * P
             other = np.nonzero(free_rows)[0]
             other = other[(other < slot * P) | (other >= (slot + 1) * P)]
             seg_free = np.concatenate([own, other])
-            k = min(len(seg_free), int(ok.sum()), P)
+            k = min(len(seg_free), int(ok.sum()), B - n_fill)
+            if k <= 0:
+                continue
             free_rows[seg_free[:k]] = False
-            if k > 0:
-                src = np.zeros(P, np.int32)
-                src[:k] = np.nonzero(ok)[0][:k]
-                idx = np.zeros(P, np.int32)
-                idx[:k] = seg_free[:k]
-                valid = np.arange(P) < k
-                self.ba_state = _insert_candidates(
-                    self.ba_state, pts.u, pts.v, acts[slot].idepth, pts.color,
-                    pts.weight, jnp.asarray(src), jnp.asarray(idx),
-                    jnp.asarray(valid), slot,
-                )
-            # remove activated + dropped candidates
-            self.immatures[slot] = pts._replace(
-                valid=pts.valid & ~jnp.asarray(ok) & ~jnp.asarray(drop))
+            sl = slice(n_fill, n_fill + k)
+            src_slot[sl] = slot
+            src_lane[sl] = np.nonzero(ok)[0][:k]
+            dst_idx[sl] = seg_free[:k]
+            host[sl] = slot
+            n_fill += k
+        if n_fill > 0:
+            self.ba_state = _insert_candidates_all(
+                self.ba_state, self.immatures, acts.idepth,
+                jnp.asarray(src_slot), jnp.asarray(src_lane),
+                jnp.asarray(dst_idx), jnp.asarray(np.arange(B) < n_fill),
+                jnp.asarray(host),
+            )
+        if consumed.any():
+            self.immatures = _consume_candidates(
+                self.immatures, jnp.asarray(consumed))
 
     # ------------------------------------------------------------------
 
@@ -1170,14 +1220,17 @@ class FrontEnd:
         self.ba_state = st
 
     def _make_new_traces(self, slot: int, pyr0: Pyramid):
-        """makeNewTraces (FrontEnd.cpp:936-962) with density feedback."""
+        """makeNewTraces (FrontEnd.cpp:936-962) with density feedback.
+        (Initialization path; the keyframe pipeline fuses this into
+        bundle 4 of _finalize_keyframe.)"""
         cfg = self.cfg
         sel, count = make_selection_map(
             pyr0.abs_grad[0], pyr0.abs_grad[1], pyr0.abs_grad[2], self.pot, cfg
         )
         got = int(count)
         self.pot = adapt_potential(self.pot, got, cfg.ba.desired_immature_density)
-        self.immatures[slot] = immature.create_points(
-            pyr0.data[0], sel, cfg.ba.max_immature_per_frame
-        )
+        self.immatures = immature.set_slot(
+            self.immatures, jnp.int32(slot),
+            immature.create_points(pyr0.data[0], sel, self.imm_budget))
+        self.imm_slots.add(slot)
 

@@ -388,3 +388,80 @@ def can_activate(pts: ImmaturePoints, cfg: SLAMConfig) -> jnp.ndarray:
         & ((pts.idepth_max + pts.idepth_min) > 0)
         & jnp.isfinite(pts.idepth_max)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stacked-window batch forms
+#
+# The frontend keeps ONE ImmaturePoints pytree with a leading [S] slot axis
+# (rather than a dict of per-slot pytrees) so trace / activation / gating
+# over the whole window are single vmapped dispatches. On a remote-attached
+# TPU each dispatch has a multi-ms delivery latency; the per-slot loop cost
+# ~7x that latency every frame (trace) and ~3x7 per keyframe
+# (activate+gate+insert), which dominated the keyframe pipeline's 400 ms
+# device-queue drain (measured r2).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def empty_batch(n_slots: int, budget: int) -> ImmaturePoints:
+    """All-invalid stacked candidate set [S, NI]."""
+    z = jnp.zeros((n_slots, budget), jnp.float32)
+    return ImmaturePoints(
+        valid=jnp.zeros((n_slots, budget), bool),
+        u=z, v=z,
+        idepth_min=z,
+        idepth_max=jnp.full((n_slots, budget), jnp.inf, jnp.float32),
+        color=jnp.zeros((n_slots, budget, 8), jnp.float32),
+        weight=jnp.zeros((n_slots, budget, 8), jnp.float32),
+        grad_h=jnp.zeros((n_slots, budget, 3), jnp.float32),
+        quality=z,
+        my_type=z,
+        status=jnp.full((n_slots, budget), IPS_UNINITIALIZED, jnp.int32),
+        pixel_interval=z,
+    )
+
+
+@jax.jit
+def set_slot(batch: ImmaturePoints, slot, pts: ImmaturePoints) -> ImmaturePoints:
+    """Write one slot's candidate set into the stacked batch."""
+    return jax.tree_util.tree_map(
+        lambda full, one: full.at[slot].set(one), batch, pts)
+
+
+@jax.jit
+def clear_slots(batch: ImmaturePoints, slot_mask) -> ImmaturePoints:
+    """Invalidate whole slots ([S] bool mask)."""
+    return batch._replace(valid=batch.valid & ~slot_mask[:, None])
+
+
+@partial(jax.jit, static_argnums=(6,))
+def trace_points_all(
+    pts: ImmaturePoints,          # stacked [S, NI]
+    target_planes: jnp.ndarray,   # [H, W, 3]
+    KRKi: jnp.ndarray,            # [S, 3, 3]
+    Kt: jnp.ndarray,              # [S, 3]
+    aff_a: jnp.ndarray,           # [S]
+    aff_b: jnp.ndarray,           # [S]
+    cfg: SLAMConfig,
+) -> ImmaturePoints:
+    """traceOn for every window slot in ONE dispatch."""
+    fn = lambda p, k, t, a, b: trace_points(p, target_planes, k, t, a, b, cfg)
+    return jax.vmap(fn)(pts, KRKi, Kt, aff_a, aff_b)
+
+
+@partial(jax.jit, static_argnums=(7,))
+def activate_points_all(
+    pts: ImmaturePoints,          # stacked [S, NI]
+    slots: jnp.ndarray,           # [S] slot indices
+    images: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    aff: jnp.ndarray,
+    calib: jnp.ndarray,
+    cfg: SLAMConfig,
+) -> ActivationResult:
+    """optimizeImmaturePoint for every slot's candidates in ONE dispatch."""
+    fn = lambda p, s: activate_points(
+        p, s, images, frame_valid, T_cw, aff, calib, cfg)
+    return jax.vmap(fn)(pts, slots)

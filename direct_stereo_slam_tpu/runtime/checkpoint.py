@@ -57,8 +57,8 @@ def save_frontend(path: str, fe: FrontEnd):
     _save_namedtuple("ba", fe.ba_state, arrays)
     if fe.template is not None:
         _save_namedtuple("template", fe.template, arrays)
-    for slot, pts in fe.immatures.items():
-        _save_namedtuple(f"imm.{slot}", pts, arrays)
+    # stacked [S, NI] candidate pytree (one entry, not per-slot)
+    _save_namedtuple("imm", fe.immatures, arrays)
     # per-slot pyramids + the last marginalization mask: without them a
     # resumed run exports pyr=None for later-marginalized KFs, silently
     # switching the loop handler onto its ICP-only acceptance branch
@@ -69,7 +69,7 @@ def save_frontend(path: str, fe: FrontEnd):
         getattr(fe, "_last_marg_mask", np.zeros(fe.pool, bool)))
 
     meta = {
-        "immature_slots": sorted(fe.immatures.keys()),
+        "immature_slots": sorted(fe.imm_slots),
         "pyramid_slots": sorted(fe.pyramids.keys()),
         "has_template": fe.template is not None,
         "template_kf_slot": fe.template_kf_slot,
@@ -111,10 +111,8 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
     fe.ba_state = _load_namedtuple("ba", ba.BAState, arrays)
     if meta["has_template"]:
         fe.template = _load_namedtuple("template", TrackerTemplate, arrays)
-    fe.immatures = {
-        int(s): _load_namedtuple(f"imm.{s}", immature.ImmaturePoints, arrays)
-        for s in meta["immature_slots"]
-    }
+    fe.immatures = _load_namedtuple("imm", immature.ImmaturePoints, arrays)
+    fe.imm_slots = {int(s) for s in meta["immature_slots"]}
     from ..ops.pyramid import Pyramid
 
     fe.pyramids = {
