@@ -744,11 +744,15 @@ def reset_fej_newest(state: BAState, newest_slot) -> BAState:
 
 
 @partial(jax.jit, static_argnums=(2,))
-def marginalize_points(state: BAState, marg_mask: jnp.ndarray, cfg: SLAMConfig):
+def marginalize_points(state: BAState, marg_mask: jnp.ndarray, cfg: SLAMConfig,
+                       lin: "Linearization" = None):
     """Fold flagged points into the marginalization prior (HM, bM) via the
     Schur complement over their idepths (EnergyFunctional::marginalizePointsF),
-    weighted by setting_margWeightFac, then invalidate them."""
-    lin = linearize(state, cfg)
+    weighted by setting_margWeightFac, then invalidate them. Pass ``lin``
+    (an existing linearization of ``state``) to skip recomputing the
+    full-state pass — the keyframe tail already has one."""
+    if lin is None:
+        lin = linearize(state, cfg)
     m = (marg_mask & state.p_valid).astype(jnp.float32)
     inv_Hdd = jnp.where(lin.Hdd > 1e-10, 1.0 / lin.Hdd, 0.0) * m
 

@@ -862,8 +862,10 @@ class FrontEnd:
                 self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})[
                     "out"] += int((drop & (p_host == s)).sum())
             if marg.any():
+                # reuse the bundle-4 linearization (self.ba_state is still
+                # the state `lin` was computed for)
                 self.ba_state = ba.marginalize_points(
-                    self.ba_state, jnp.asarray(marg), cfg)
+                    self.ba_state, jnp.asarray(marg), cfg, lin)
             if drop.any():
                 self.ba_state = ba.drop_points(self.ba_state, jnp.asarray(drop))
             # loop-handler point export: Schur-marginalized subset only
