@@ -18,7 +18,6 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..geometry import lie
-import jax.numpy as jnp
 
 
 class NearbyPointCloud:
@@ -40,11 +39,14 @@ class NearbyPointCloud:
         lp = self.cfg.loop
         rng = lp.lidar_range
 
-        # orientation trim (generate_spherical_points.h:34-40)
+        # orientation trim (generate_spherical_points.h:34-40). Pure numpy:
+        # the eager jnp so3_log here cost ~3 ms PER STORED KEYFRAME per
+        # scan (~100 ms/KF at 30 stored ids — the pts_generation line in
+        # BENCH r2's stage table before this fix).
         keep_ids = set()
         for kf_id, T_wc in list(self.id_pose_wc.items()):
             delta = T_cw @ T_wc
-            w = np.asarray(lie.so3_log(jnp.asarray(delta[:3, :3], jnp.float32)))
+            w = lie.so3_log_np(delta[:3, :3])
             if np.linalg.norm(w) > self.cfg.loop.orientation_trim_rad:
                 del self.id_pose_wc[kf_id]
             else:
@@ -53,7 +55,7 @@ class NearbyPointCloud:
         if len(self.pts) == 0:
             return np.zeros((0, 3))
 
-        id_ok = np.isin(self.ids, list(keep_ids))
+        id_ok = np.isin(self.ids, np.fromiter(keep_ids, np.int64, len(keep_ids)))
         p_local = (self.pts @ T_cw[:3, :3].T) + T_cw[:3, 3]
         in_range = np.linalg.norm(p_local, axis=1) < rng
         ok = id_ok & in_range
