@@ -113,6 +113,31 @@ def main():
     fps = N_FRAMES / dt
     baseline = 100.0
 
+    # ---- batched multi-sequence throughput (BASELINE config 5) ----------
+    # vmap the same per-frame program over B independent sequences on ONE
+    # chip: the batch-eval scaling story (SURVEY §2.3), and a
+    # tunnel-independent aggregate-throughput metric.
+    B = 8
+    tmpl_b = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * B), tmpl)
+
+    @jax.jit
+    def frame_step_batch(imgs, T_inits):
+        def one_seq(img, tm, T0):
+            pyr = build_pyramid(img, LVLS)
+            return track_candidate(
+                tuple(pyr.data), tm, intr, cfg, T0, zero, zero, one, one)
+        return jax.vmap(one_seq)(imgs, tmpl_b, T_inits)
+
+    imgs_b = jnp.stack([img_new] * B)
+    Tb = jnp.stack([jnp.eye(4)] * B)
+    frame_step_batch(imgs_b, Tb).T.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(N_FRAMES):
+        outb = frame_step_batch(imgs_b, Tb)
+    outb.T.block_until_ready()
+    batch_fps = B * N_FRAMES / (time.perf_counter() - t0)
+
     e2e = bench_e2e(jax)
 
     print(json.dumps({
@@ -120,6 +145,7 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline, 3),
+        "batch8_aggregate_fps": round(batch_fps, 2),
         **e2e,
     }))
 

@@ -562,14 +562,22 @@ class FrontEnd:
                     np.concatenate([stage1, stage2], axis=0),
                     selector=select_winner_serial)
             else:
+                # escalation batches use the reference's serial selection
+                # rule over the already-computed batch: free once the batch
+                # ran, and the A/B harness measured it strictly better past
+                # the tracker's turn-rate limit (fast-rotation lap ATE 0.78
+                # vs 1.15 m) with identical choices on benign scenes
+                # (PARITY.md "Policy A/B deltas")
                 res, idx, good = run(stage1[:1])
                 if not good or float(res.res_per_level[idx, 0]) > thr:
-                    res5, idx5, good5 = run(stage1)
+                    res5, idx5, good5 = run(stage1,
+                                            selector=select_winner_serial)
                     if good5 and (not good or float(res5.res_per_level[idx5, 0])
                                   < float(res.res_per_level[idx, 0])):
                         res, idx, good = res5, idx5, good5
                 if not good or float(res.res_per_level[idx, 0]) > thr:
-                    res2, idx2, good2 = run(stage2)
+                    res2, idx2, good2 = run(stage2,
+                                            selector=select_winner_serial)
                     if good2 and (not good or float(res2.res_per_level[idx2, 0])
                                   < float(res.res_per_level[idx, 0])):
                         res, idx, good = res2, idx2, good2
