@@ -1,0 +1,81 @@
+"""Sequence-gap recovery end-to-end (reference main.cpp:222-245 +
+FrontEndMarginalize.cpp:197-202): a >sequence_gap_seconds timestamp jump
+must reinitialize the front end preserving the current pose and the
+global keyframe-id offset, and the FIRST marginalized keyframe of the new
+sequence must export dso_error=NaN so the loop handler adds no odometry
+edge linking unrelated sequences (the round-1 advisor's medium finding)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from direct_stereo_slam_tpu.config import make_config
+from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
+from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
+from direct_stereo_slam_tpu.loop.handler import LoopHandler
+from direct_stereo_slam_tpu.runtime.node import SLAMNode
+
+W, H, LVLS = 192, 64, 3
+
+
+@pytest.mark.slow
+def test_sequence_gap_reinit_and_restart_marker():
+    n = 34
+    gap_at = 17
+    ds = SyntheticStereoDataset(n_frames=n, width=W, height=H, speed=0.3)
+    cfg = make_config(W, H)
+    import dataclasses
+    cfg = cfg.replace(tracker=dataclasses.replace(
+        cfg.tracker, pyr_levels=LVLS))
+    cfg = cfg.replace(ba=dataclasses.replace(
+        cfg.ba, max_frames=4, min_frames=2, max_points_per_frame=64,
+        max_immature_per_frame=256, desired_point_density=200.0,
+        desired_immature_density=150.0))
+    K = ds.K
+    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                                   W, H, LVLS)
+    handler = LoopHandler(cfg, intr, threaded=False)
+    node = SLAMNode(cfg, intr, intr, ds.t_cam1_cam0, loop_handler=handler)
+
+    fe_before_gap = None
+    for i in range(n):
+        f = ds.frame(i)
+        # inject a huge timestamp jump at the gap (a "new bag")
+        ts = float(i) * 0.1 + (1000.0 if i >= gap_at else 0.0)
+        if i == gap_at:
+            fe_before_gap = node.frontend
+            kfs_before = node.frontend.num_kfs
+            pose_before = node.frontend.cur_pose.copy()
+        node.process(f["img0"], f["img1"], ts)
+    node.finish()
+
+    # the gap forced a fresh FrontEnd instance...
+    assert node.frontend is not fe_before_gap
+    # ...that carried over the pose (continuity) and the global KF counter
+    assert np.allclose(node.frontend.all_frames[0].T_wc, pose_before)
+    assert node.frontend.prev_kf_count == kfs_before
+    assert node.frontend.num_kfs > kfs_before
+    assert node.frontend.initialized
+    assert not node.frontend.is_lost
+
+    # the loop handler got KFs from BOTH sequences with increasing ids
+    ids = [lf.kf_id for lf in handler.frames]
+    assert ids == sorted(ids)
+    assert len(ids) >= 4
+
+    # restart marker: exactly the first post-gap marginalized KF has a
+    # non-finite dso_error => no odometry edge to the previous sequence
+    first_new = next(i for i, lf in enumerate(handler.frames)
+                     if lf.kf_id >= kfs_before)
+    assert first_new > 0, "need marginalized KFs from the first sequence"
+    lf = handler.frames[first_new]
+    assert not any(j == first_new - 1 for j, *_ in lf.edges), \
+        "restart KF must not be chained to the previous sequence"
+    # and the following KFs resume normal odometry edges
+    if first_new + 1 < len(handler.frames):
+        nxt = handler.frames[first_new + 1]
+        assert any(j == first_new for j, *_ in nxt.edges)
+    # every pre-gap frame's dso_error stayed finite
+    assert all(math.isfinite(handler.frames[i].dso_error)
+               for i in range(first_new))
