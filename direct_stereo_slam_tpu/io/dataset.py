@@ -59,9 +59,25 @@ class StereoDirDataset:
         self.files1 = sorted(glob.glob(os.path.join(dir1, pattern)))
         n = min(len(self.files0), len(self.files1))
         self.files0, self.files1 = self.files0[:n], self.files1[:n]
+        self.exposures = [1.0] * n
         if timestamps and os.path.exists(timestamps):
+            # per-LINE parse: 1 column = time; 2 = time exposure;
+            # 3 = id time exposure (the TUM-monoVO times.txt format DSO's
+            # ImageFolderReader consumes — exposure in ms)
+            times, exps = [], []
             with open(timestamps) as f:
-                self.times = [float(x) for x in f.read().split()][:n]
+                for line in f:
+                    cols = line.split()
+                    if not cols:
+                        continue
+                    if len(cols) == 1:
+                        times.append(float(cols[0])); exps.append(1.0)
+                    elif len(cols) == 2:
+                        times.append(float(cols[0])); exps.append(float(cols[1]))
+                    else:
+                        times.append(float(cols[1])); exps.append(float(cols[2]))
+            self.times = times[:n]
+            self.exposures = (exps + [1.0] * n)[:n]
         else:
             self.times = [i / fps for i in range(n)]
 
@@ -74,6 +90,7 @@ class StereoDirDataset:
             "img1": _imread_gray(self.files1[i]),
             "timestamp": self.times[i],
             "incoming_id": i,
+            "exposure": self.exposures[i],
         }
 
     def __iter__(self):

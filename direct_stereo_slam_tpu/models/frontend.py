@@ -168,6 +168,7 @@ class FrameShell:
     aff: np.ndarray                   # (a, b)
     tracking_ref_kf: int = -1         # frame_id of the reference KF
     is_kf: bool = False
+    exposure: float = 1.0             # ImageAndExposure exposure time
 
 
 @dataclass
@@ -229,6 +230,7 @@ class FrontEnd:
         self.template_ref_aff = AffLight(jnp.float32(0.0), jnp.float32(0.0))
         self.template_ref_aff_np = np.zeros(2, np.float32)
         self.template_ref_exposure = jnp.float32(1.0)
+        self.template_ref_exposure_np = 1.0
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = 1e9
 
@@ -250,6 +252,8 @@ class FrontEnd:
 
         self.scale_state = ScaleState()
         self.scale_errors: Dict[int, float] = {}      # per-slot
+        self.slot_exposure: Dict[int, float] = {}     # per-slot exposure
+        self._cur_exposure = 1.0
         self.last_dso_error = 10e5
         self.current_min_act_dist = 2.0
         self.pot = 5
@@ -309,7 +313,14 @@ class FrontEnd:
     # ------------------------------------------------------------------
 
     def add_stereo_frame(self, img0: jnp.ndarray, img1: jnp.ndarray,
-                         incoming_id: int, timestamp: float) -> FrameShell:
+                         incoming_id: int, timestamp: float,
+                         exposure: float = 1.0) -> FrameShell:
+        """``exposure`` is the left image's exposure time (the reference's
+        ImageAndExposure; 1.0 when unknown). It enters the brightness
+        transfer exactly as DSO's AffLight::fromToVecExposure — tracker,
+        windowed BA, trace, and the keyframe/marginalization affine gates
+        all scale by exposure ratios."""
+        self._cur_exposure = float(exposure)
         pyr0 = build_pyramid(img0, self.levels)
 
         if not self.initialized:
@@ -343,7 +354,8 @@ class FrontEnd:
             budget=self.cfg.ba.max_immature_per_frame, pot=self.pot,
         )
         shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
-                           np.zeros(2, np.float32))
+                           np.zeros(2, np.float32),
+                           exposure=self._cur_exposure)
         self.all_frames.append(shell)
         if not res.ok:
             return shell
@@ -358,9 +370,10 @@ class FrontEnd:
         slot = 0
         T_cw = np.linalg.inv(self.cur_pose).astype(np.float32)
         self.ba_state = ba.add_frame(
-            self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2), 1.0,
-            pyr0.data[0],
+            self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2),
+            shell.exposure, pyr0.data[0],
         )
+        self.slot_exposure[slot] = shell.exposure
         # fixed-length padded batch (see _insert_candidates_all): one compiled
         # shape even across reinits with different survivor counts
         P = self.cfg.ba.max_points_per_frame
@@ -405,7 +418,8 @@ class FrontEnd:
             self._mono_first_pyr = pyr0
             self._mono_frames = 0
             shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
-                               np.zeros(2, np.float32))
+                               np.zeros(2, np.float32),
+                               exposure=self._cur_exposure)
             self.all_frames.append(shell)
             self._mono_first_shell = shell
             return shell
@@ -446,10 +460,12 @@ class FrontEnd:
         first_pyr = self._mono_first_pyr
         slot = 0
         T_cw = np.linalg.inv(self.cur_pose).astype(np.float32)
+        first_exp = self._mono_first_shell.exposure
         self.ba_state = ba.add_frame(
-            self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2), 1.0,
-            first_pyr.data[0],
+            self.ba_state, slot, self.num_kfs, T_cw, np.zeros(2),
+            first_exp, first_pyr.data[0],
         )
+        self.slot_exposure[slot] = first_exp
         # pattern colors + gradient weights at the converged points
         # (ImmaturePoint-ctor equivalents; FrontEnd.cpp:884-893)
         P = self.cfg.ba.max_points_per_frame
@@ -537,14 +553,15 @@ class FrontEnd:
                         tuple(pyr0.data), self.template, self.intr0,
                         self.cfg, jnp.asarray(batch[0]), aff_init,
                         self.template_ref_aff, self.template_ref_exposure,
-                        jnp.float32(1.0),
+                        jnp.float32(self._cur_exposure),
                     )
                     lift = lambda x: x[None]
                 else:
                     r = track_candidates_batch(
                         tuple(pyr0.data), self.template, self.intr0, self.cfg,
                         jnp.asarray(batch), aff_init, self.template_ref_aff,
-                        self.template_ref_exposure, jnp.float32(1.0),
+                        self.template_ref_exposure,
+                        jnp.float32(self._cur_exposure),
                     )
                     lift = lambda x: x
                 # one transfer for everything the host needs from the batch
@@ -583,7 +600,8 @@ class FrontEnd:
                         res, idx, good = res2, idx2, good2
 
         shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
-                           np.zeros(2, np.float32))
+                           np.zeros(2, np.float32),
+                           exposure=self._cur_exposure)
         self.all_frames.append(shell)
 
         r0 = float(res.res_per_level[idx, 0])
@@ -627,7 +645,8 @@ class FrontEnd:
         # scalars is a blocking device pull (one RTT each; measured 14 ms
         # per KF decision on the tunneled chip)
         ref_aff = self.template_ref_aff_np
-        a_rel = math.exp(shell.aff[0] - ref_aff[0])
+        a_rel = math.exp(shell.aff[0] - ref_aff[0]) * (
+            shell.exposure / max(self.template_ref_exposure_np, 1e-9))
         flow_t, _, flow_rt = shell._flow
         score = (
             kc.kf_global_weight * kc.max_shift_weight_t * math.sqrt(max(flow_t, 0.0)) / (w + h)
@@ -643,9 +662,11 @@ class FrontEnd:
 
     def _make_non_keyframe(self, shell: FrameShell, pyr0: Pyramid):
         with self.timers.span("trace"):
-            self._trace_all(shell.T_wc, pyr0.data[0], shell.aff)
+            self._trace_all(shell.T_wc, pyr0.data[0], shell.aff,
+                            shell.exposure)
 
-    def _trace_all(self, T_wc_new: np.ndarray, target_planes, new_aff):
+    def _trace_all(self, T_wc_new: np.ndarray, target_planes, new_aff,
+                   new_exposure: float = 1.0):
         """traceOn over every window slot: ONE vmapped dispatch (inactive
         slots carry valid=False lanes; their identity transforms are
         harmless)."""
@@ -664,7 +685,8 @@ class FrontEnd:
             T_nh = T_cw_new @ self._kf_pose(slot)
             KRKi[slot] = K @ T_nh[:3, :3] @ Ki
             Kt[slot] = K @ T_nh[:3, 3]
-            a_rel[slot] = np.exp(new_aff[0] - aff_all[slot, 0])
+            a_rel[slot] = np.exp(new_aff[0] - aff_all[slot, 0]) * (
+                new_exposure / max(self.slot_exposure.get(slot, 1.0), 1e-9))
             b_rel[slot] = new_aff[1] - a_rel[slot] * aff_all[slot, 1]
         self.immatures = immature.trace_points_all(
             self.immatures, target_planes,
@@ -703,7 +725,8 @@ class FrontEnd:
         imm_counts = {s: int(counts[s]) for s in self.imm_slots}
 
         with self.timers.span("trace"):
-            self._trace_all(shell.T_wc, pyr0.data[0], shell.aff)
+            self._trace_all(shell.T_wc, pyr0.data[0], shell.aff,
+                            shell.exposure)
 
         # ---- flag frames for marginalization (FrontEndMarginalize.cpp:62) --
         flagged = self._flag_frames_for_marginalization(shell, imm_counts)
@@ -715,8 +738,10 @@ class FrontEnd:
         pre_views = self._views_cache      # pre-insert snapshot (bundle 1)
         n_active_before = int(np.asarray(pre_views[3]).sum())
         self.ba_state = ba.add_frame(
-            self.ba_state, slot, self.num_kfs, T_cw, shell.aff, 1.0, pyr0.data[0],
+            self.ba_state, slot, self.num_kfs, T_cw, shell.aff,
+            shell.exposure, pyr0.data[0],
         )
+        self.slot_exposure[slot] = shell.exposure
         self.ba_state = self.ba_state._replace(
             energy_th=self.ba_state.energy_th.at[slot].set(
                 self.ba_state.energy_th[prev_newest])
@@ -796,7 +821,8 @@ class FrontEnd:
         aff = self._views_cache[1][slot]
         self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))
         self.template_ref_aff_np = np.asarray(aff[:2], np.float32)
-        self.template_ref_exposure = jnp.float32(1.0)
+        self.template_ref_exposure = jnp.float32(shell.exposure)
+        self.template_ref_exposure_np = shell.exposure
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = 1e9
 
@@ -943,6 +969,7 @@ class FrontEnd:
                     pts_colors=colors,
                     pyr=tuple(self.pyramids[mslot].data)
                         if mslot in self.pyramids else None,
+                    exposure=self.slot_exposure.get(mslot, 1.0),
                 ))
                 self.ba_state = ba.marginalize_frame(
                     self.ba_state, jnp.int32(mslot))
@@ -950,6 +977,7 @@ class FrontEnd:
                 self.pyramids.pop(mslot, None)
                 self.slot_stats.pop(mslot, None)
                 self.scale_errors.pop(mslot, None)
+                self.slot_exposure.pop(mslot, None)
             if flagged:
                 clear = np.zeros(self.n_slots, bool)
                 clear[flagged] = True
@@ -998,7 +1026,9 @@ class FrontEnd:
             n_in += int(imm_counts.get(s, 0))
             n_out = self.slot_stats.get(s, {}).get("out", 0) + \
                 self.slot_stats.get(s, {}).get("marg", 0)
-            a_rel = math.exp(aff_all[newest, 0] - aff_all[s, 0])
+            a_rel = math.exp(aff_all[newest, 0] - aff_all[s, 0]) * (
+                self.slot_exposure.get(newest, 1.0)
+                / max(self.slot_exposure.get(s, 1.0), 1e-9))
             if (n_in < cfg.min_points_remaining * (n_in + n_out)
                     or abs(math.log(max(a_rel, 1e-9))) > cfg.max_log_aff_fac_in_window) \
                     and len(slots) - len(flagged) > cfg.min_frames:
@@ -1087,7 +1117,7 @@ class FrontEnd:
         K1i = np.linalg.inv(K)
         acts = immature.activate_points_all(
             self.immatures, jnp.arange(S, dtype=jnp.int32), images,
-            frame_valid, T_cw_j, aff_j, calib_j, cfg)
+            frame_valid, T_cw_j, aff_j, calib_j, st.exposure, cfg)
         # host 4x4 math from the bundle-1 snapshot (old slots' poses have
         # not moved since) + the new KF's host-known pose
         KRKi1 = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
@@ -1201,7 +1231,9 @@ class FrontEnd:
         aff = self._views_np()[1][ref_slot]
         self.template_ref_aff = AffLight(jnp.float32(aff[0]), jnp.float32(aff[1]))
         self.template_ref_aff_np = np.asarray(aff[:2], np.float32)
-        self.template_ref_exposure = jnp.float32(1.0)
+        ref_exp = self.slot_exposure.get(ref_slot, 1.0)
+        self.template_ref_exposure = jnp.float32(ref_exp)
+        self.template_ref_exposure_np = ref_exp
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = 1e9
 

@@ -283,7 +283,7 @@ class ActivationResult(NamedTuple):
     ok: jnp.ndarray            # [NI] activation accepted
 
 
-@partial(jax.jit, static_argnums=(7,))
+@partial(jax.jit, static_argnums=(8,))
 def activate_points(
     pts: ImmaturePoints,
     host_slot: jnp.ndarray,     # scalar int: the host's BA slot
@@ -292,6 +292,7 @@ def activate_points(
     T_cw: jnp.ndarray,          # [Wn, 4, 4] current worldToCam
     aff: jnp.ndarray,           # [Wn, 2]
     calib: jnp.ndarray,         # [4]
+    exposure: jnp.ndarray,      # [Wn] frame exposure times
     cfg: SLAMConfig,
 ) -> ActivationResult:
     """Batched 1-D inverse-depth GN over pattern residuals toward all other
@@ -309,7 +310,8 @@ def activate_points(
     Tth = jnp.einsum("tij,jk->tik", T_cw, T_hw[host_slot], precision=_HI)  # [Wn,4,4]
     Rth = Tth[:, :3, :3]
     tth = Tth[:, :3, 3]
-    a_t = jnp.exp(aff[:, 0] - aff[host_slot, 0])
+    a_t = jnp.exp(aff[:, 0] - aff[host_slot, 0]) * (
+        exposure / jnp.maximum(exposure[host_slot], 1e-9))
     b_t = aff[:, 1] - a_t * aff[host_slot, 1]
     t_ok = frame_valid & (jnp.arange(Wn) != host_slot)
 
@@ -450,7 +452,7 @@ def trace_points_all(
     return jax.vmap(fn)(pts, KRKi, Kt, aff_a, aff_b)
 
 
-@partial(jax.jit, static_argnums=(7,))
+@partial(jax.jit, static_argnums=(8,))
 def activate_points_all(
     pts: ImmaturePoints,          # stacked [S, NI]
     slots: jnp.ndarray,           # [S] slot indices
@@ -459,9 +461,10 @@ def activate_points_all(
     T_cw: jnp.ndarray,
     aff: jnp.ndarray,
     calib: jnp.ndarray,
+    exposure: jnp.ndarray,        # [S]
     cfg: SLAMConfig,
 ) -> ActivationResult:
     """optimizeImmaturePoint for every slot's candidates in ONE dispatch."""
     fn = lambda p, s: activate_points(
-        p, s, images, frame_valid, T_cw, aff, calib, cfg)
+        p, s, images, frame_valid, T_cw, aff, calib, exposure, cfg)
     return jax.vmap(fn)(pts, slots)

@@ -74,6 +74,8 @@ def save_frontend(path: str, fe: FrontEnd):
         "has_template": fe.template is not None,
         "template_kf_slot": fe.template_kf_slot,
         "template_ref_aff": [float(fe.template_ref_aff.a), float(fe.template_ref_aff.b)],
+        "template_ref_exposure": float(fe.template_ref_exposure_np),
+        "slot_exposure": {str(k): v for k, v in fe.slot_exposure.items()},
         "first_coarse_rmse": fe.first_coarse_rmse,
         "last_coarse_rmse": fe.last_coarse_rmse,
         "prev_kf_count": fe.prev_kf_count,
@@ -91,7 +93,8 @@ def save_frontend(path: str, fe: FrontEnd):
         "all_frames": [
             {"incoming_id": s.incoming_id, "timestamp": s.timestamp,
              "T_wc": np.asarray(s.T_wc).tolist(), "aff": np.asarray(s.aff).tolist(),
-             "tracking_ref_kf": s.tracking_ref_kf, "is_kf": s.is_kf}
+             "tracking_ref_kf": s.tracking_ref_kf, "is_kf": s.is_kf,
+             "exposure": s.exposure}
             for s in fe.all_frames
         ],
         "kf_indices": [fe.all_frames.index(s) for s in fe.kf_shells],
@@ -124,6 +127,11 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
     fe.template_kf_slot = meta["template_kf_slot"]
     a, b = meta["template_ref_aff"]
     fe.template_ref_aff = AffLight(jnp.float32(a), jnp.float32(b))
+    ref_exp = meta.get("template_ref_exposure", 1.0)
+    fe.template_ref_exposure = jnp.float32(ref_exp)
+    fe.template_ref_exposure_np = ref_exp
+    fe.slot_exposure = {int(k): v
+                        for k, v in meta.get("slot_exposure", {}).items()}
     fe.first_coarse_rmse = meta["first_coarse_rmse"]
     fe.last_coarse_rmse = meta["last_coarse_rmse"]
     fe.prev_kf_count = meta["prev_kf_count"]
@@ -143,6 +151,7 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
             T_wc=np.asarray(s["T_wc"], np.float32),
             aff=np.asarray(s["aff"], np.float32),
             tracking_ref_kf=s["tracking_ref_kf"], is_kf=s["is_kf"],
+            exposure=s.get("exposure", 1.0),
         )
         for s in meta["all_frames"]
     ]

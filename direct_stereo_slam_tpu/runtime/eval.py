@@ -55,7 +55,8 @@ def run_sequence(ds, cfg: SLAMConfig, K: np.ndarray, t_cam1_cam0: np.ndarray,
     for i in range(n):
         f = ds.frame(i)
         node.process(jnp.asarray(f["img0"]), jnp.asarray(f["img1"]),
-                     float(f["timestamp"]))
+                     float(f["timestamp"]),
+                     exposure=float(f.get("exposure", 1.0)))
         if progress and i % 50 == 0:
             print(f"  [{i}/{n}] kfs={node.frontend.num_kfs} "
                   f"loops={handler.direct_loop_count}+{handler.icp_loop_count}",

@@ -54,8 +54,10 @@ class SLAMNode:
             if self.loop_handler is not None:
                 self.loop_handler.viewer = self.viewer
 
-    def process(self, img0, img1, timestamp: float):
-        """One synced stereo pair (imageMessageCallback, main.cpp:212-265)."""
+    def process(self, img0, img1, timestamp: float, exposure: float = 1.0):
+        """One synced stereo pair (imageMessageCallback, main.cpp:212-265).
+        ``exposure`` is the left frame's exposure time when the dataset
+        provides one (ImageAndExposure; 1.0 otherwise)."""
         # new-sequence detection
         if (
             self.current_timestamp > 0
@@ -87,7 +89,7 @@ class SLAMNode:
 
         with self.timers.span("per_frame"):
             shell = self.frontend.add_stereo_frame(
-                img0, img1, self.incoming_id, timestamp
+                img0, img1, self.incoming_id, timestamp, exposure=exposure
             )
         self.incoming_id += 1
 

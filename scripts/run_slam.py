@@ -136,7 +136,8 @@ def main():
     import jax.numpy as jnp
     n = len(ds)
     for i, f in enumerate(ds):
-        node.process(jnp.asarray(f["img0"]), jnp.asarray(f["img1"]), f["timestamp"])
+        node.process(jnp.asarray(f["img0"]), jnp.asarray(f["img1"]),
+                     f["timestamp"], exposure=f.get("exposure", 1.0))
         if i % 10 == 0:
             print(f"[{i}/{n}] kfs={node.frontend.num_kfs} "
                   f"loops={handler.direct_loop_count}+{handler.icp_loop_count}",

@@ -155,7 +155,7 @@ class TestTraceActivation:
         out = immature.activate_points(
             pts, jnp.int32(0), images, jnp.ones(3, bool), T_cw,
             jnp.zeros((3, 2)), jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
-            cfg,
+            jnp.ones(3, jnp.float32), cfg,
         )
         ok = np.asarray(out.ok & can)
         assert ok.sum() > 20
