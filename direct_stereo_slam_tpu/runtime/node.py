@@ -96,14 +96,32 @@ class SLAMNode:
         if self.viewer is not None:
             self.viewer.publish_cam_pose(shell.T_wc)
         rt = self.cfg.runtime
-        if rt.debug_dump_dir and shell.is_kf and \
-                self.frontend.template is not None:
-            from ..viz.debug import dump_template_idepth
-            slot = self.frontend.template_kf_slot
-            dump_template_idepth(
-                rt.debug_dump_dir, self.frontend.num_kfs - 1,
-                self.frontend.template,
-                self.frontend.pyramids.get(slot))
+        if rt.debug_dump_dir and self.frontend.template is not None:
+            from ..viz.debug import (
+                dump_template_idepth, dump_tracking_residual,
+                dump_window_stitch)
+            import math as _math
+            fe = self.frontend
+            if shell.is_kf:
+                kf_id = fe.num_kfs - 1
+                slot = fe.template_kf_slot
+                dump_template_idepth(
+                    rt.debug_dump_dir, kf_id, fe.template,
+                    fe.pyramids.get(slot))
+                # window stitch (FrontEndDebugStuff.cpp:34-310)
+                dump_window_stitch(rt.debug_dump_dir, kf_id, fe)
+            elif getattr(shell, "_T_ref_new", None) is not None:
+                # residual image of the accepted tracking pose against the
+                # (unchanged) template (TrackerAndScaler.cpp:730-734);
+                # skipped on KF frames, whose template was just rebuilt
+                ra = fe.template_ref_aff_np
+                a_rel = _math.exp(shell.aff[0] - ra[0]) * (
+                    shell.exposure / max(fe.template_ref_exposure_np, 1e-9))
+                b_rel = shell.aff[1] - a_rel * ra[1]
+                dump_tracking_residual(
+                    rt.debug_dump_dir, self.incoming_id - 1,
+                    np.asarray(img0), fe.template, self.intr0,
+                    np.asarray(shell._T_ref_new), a_rel, b_rel)
         if rt.step_by_step:
             # goStepByStep (FrontEnd.cpp:689-700): block until Enter
             input(f"[step] frame {self.incoming_id - 1} "

@@ -49,3 +49,39 @@ def test_live_viewer_roundtrip(tmp_path):
 
     # cloud points moved with the poses (camera-frame storage)
     assert max(p[0] for p in st2["cloud"]) > 90.0
+
+
+def test_debug_dumps_end_to_end(tmp_path):
+    """Residual-image, idepth-jet, and window-stitch dumps (viz/debug.py —
+    the reference's TAS.cpp:730-734 / :338-449 / FrontEndDebugStuff online
+    debug rendering) appear when runtime.debug_dump_dir is set."""
+    import dataclasses
+    import os
+
+    from direct_stereo_slam_tpu.config import make_config
+    from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
+    from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
+    from direct_stereo_slam_tpu.runtime.node import SLAMNode
+
+    W, H, LVLS = 192, 64, 3
+    ds = SyntheticStereoDataset(n_frames=8, width=W, height=H, speed=0.3)
+    cfg = make_config(W, H)
+    cfg = cfg.replace(
+        tracker=dataclasses.replace(cfg.tracker, pyr_levels=LVLS),
+        ba=dataclasses.replace(
+            cfg.ba, max_frames=4, min_frames=2, max_points_per_frame=64,
+            max_immature_per_frame=256, desired_point_density=200.0,
+            desired_immature_density=150.0),
+        runtime=dataclasses.replace(
+            cfg.runtime, debug_dump_dir=str(tmp_path / "dbg")),
+    )
+    K = ds.K
+    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                                   W, H, LVLS)
+    node = SLAMNode(cfg, intr, intr, ds.t_cam1_cam0)
+    for f in ds:
+        node.process(f["img0"], f["img1"], f["timestamp"])
+    files = os.listdir(tmp_path / "dbg")
+    assert any(f.endswith("_idepth.png") for f in files)
+    assert any(f.endswith("_window.png") for f in files)
+    assert any(f.endswith("_residual.png") for f in files)
