@@ -685,7 +685,10 @@ class FrontEnd:
             T_nh = T_cw_new @ self._kf_pose(slot)
             KRKi[slot] = K @ T_nh[:3, :3] @ Ki
             Kt[slot] = K @ T_nh[:3, 3]
-            a_rel[slot] = np.exp(new_aff[0] - aff_all[slot, 0]) * (
+            # clip the exponent: post-divergence affine estimates can be
+            # huge and exp overflow poisons the trace transfer with inf
+            a_rel[slot] = np.exp(
+                np.clip(new_aff[0] - aff_all[slot, 0], -20.0, 20.0)) * (
                 new_exposure / max(self.slot_exposure.get(slot, 1.0), 1e-9))
             b_rel[slot] = new_aff[1] - a_rel[slot] * aff_all[slot, 1]
         self.immatures = immature.trace_points_all(
