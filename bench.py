@@ -32,7 +32,17 @@ def main():
     # persistent compilation cache: first bench run pays ~1-2 min of TPU
     # compiles; subsequent runs start hot
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dsslam_jax_cache")
+        # host-keyed cache: stale AOT entries from a pre-migration host
+        # microarch can SIGILL (see tests/conftest.py)
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(l for l in f if l.startswith("flags"))
+            suffix = "_" + hashlib.md5(flags.encode()).hexdigest()[:8]
+        except Exception:
+            suffix = ""
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/dsslam_jax_cache" + suffix)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass

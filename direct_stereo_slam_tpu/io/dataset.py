@@ -77,7 +77,18 @@ class StereoDirDataset:
                     else:
                         times.append(float(cols[1])); exps.append(float(cols[2]))
             self.times = times[:n]
-            self.exposures = (exps + [1.0] * n)[:n]
+            exps = (exps + [1.0] * n)[:n]
+            # repair unrecorded (0) exposures by neighbor interpolation,
+            # as DSO's ImageFolderReader does for TUM-monoVO times files
+            arr = np.asarray(exps, np.float64)
+            bad = arr <= 0
+            if bad.any() and not bad.all():
+                good_idx = np.nonzero(~bad)[0]
+                arr[bad] = np.interp(np.nonzero(bad)[0], good_idx,
+                                     arr[good_idx])
+            elif bad.all():
+                arr[:] = 1.0
+            self.exposures = arr.tolist()
         else:
             self.times = [i / fps for i in range(n)]
 

@@ -44,6 +44,7 @@ class LoopFrame:
     pts_cam: Optional[np.ndarray] = None       # sparse points, camera frame
     pts_colors: Optional[np.ndarray] = None    # [K, L]
     pts_spherical: Optional[np.ndarray] = None # scan, camera frame
+    exposure: float = 1.0                      # KF exposure time
     edges: List = field(default_factory=list)  # (other_idx, Z, w_t, w_r)
 
 
@@ -136,6 +137,7 @@ class LoopHandler:
             pts_cam=mkf.pts_cam,
             pts_colors=mkf.pts_colors,
             pts_spherical=pts_spherical,
+            exposure=mkf.exposure,
         )
         idx = len(self.frames)
         self.frames.append(lf)
@@ -227,9 +229,14 @@ class LoopHandler:
                 mask = np.zeros(kmax, bool)
                 px[:k], py[:k], pz[:k] = K[:k, 0], K[:k, 1], K[:k, 2]
                 ncols = matched.pts_colors.shape[1]
-                cols[:k, :ncols] = matched.pts_colors[:k]
+                # transfer the matched KF's intensities into the current
+                # frame's exposure (AffLight::fromToVecExposure's exposure
+                # factor; the aligner's own affine handles the residual
+                # drift on top)
+                exp_gain = lf.exposure / max(matched.exposure, 1e-9)
+                cols[:k, :ncols] = matched.pts_colors[:k] * exp_gain
                 if ncols < cols.shape[1]:
-                    cols[:k, ncols:] = matched.pts_colors[:k, -1:]
+                    cols[:k, ncols:] = cols[:k, ncols - 1: ncols]
                 mask[:k] = True
                 if ref_mode:
                     seeds = (tfm_pca,)

@@ -280,7 +280,7 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     b_t = aff[None, :, 1]
     exp_h = state.exposure[h_idx][:, None]
     exp_t = state.exposure[None, :]
-    a_th = jnp.exp(a_t - a_h) * (exp_t / exp_h)   # [NP, W]
+    a_th = jnp.exp(a_t - a_h) * (exp_t / jnp.maximum(exp_h, 1e-9))  # [NP, W]
     b_th = b_t - a_th * b_h
 
     residual = hit_i - (a_th[..., None] * state.p_color[:, None, :] + b_th[..., None])

@@ -43,7 +43,6 @@ from .scale_opt import (
     ScaleState,
     decide_scale_optimization,
     dispatch_scale_optimization,
-    run_scale_optimization,
 )
 from .tracker import (
     AffLight,
@@ -305,9 +304,6 @@ class FrontEnd:
         T_cw = self._views_np()[0][slot]
         return np.linalg.inv(T_cw)
 
-    def _point_count(self) -> int:
-        return int(np.asarray(jnp.sum(self.ba_state.p_valid)))
-
     # ------------------------------------------------------------------
     # main entry (reference addActiveStereoFrame, FrontEnd.cpp:585-686)
     # ------------------------------------------------------------------
@@ -320,7 +316,11 @@ class FrontEnd:
         transfer exactly as DSO's AffLight::fromToVecExposure — tracker,
         windowed BA, trace, and the keyframe/marginalization affine gates
         all scale by exposure ratios."""
-        self._cur_exposure = float(exposure)
+        # guard: a 0/negative exposure (unrecorded rows in TUM-monoVO
+        # times files) would reach the exp_t/exp_h ratios as a division by
+        # zero; DSO's ImageFolderReader repairs such rows, and the dataset
+        # reader here does too, but clamp at the pipeline entry regardless
+        self._cur_exposure = max(float(exposure), 1e-6)
         pyr0 = build_pyramid(img0, self.levels)
 
         if not self.initialized:
@@ -438,7 +438,8 @@ class FrontEnd:
                 self._mono_frames = 0
                 shell = FrameShell(incoming_id, timestamp,
                                    self.cur_pose.copy(),
-                                   np.zeros(2, np.float32))
+                                   np.zeros(2, np.float32),
+                                   exposure=self._cur_exposure)
                 self.all_frames.append(shell)
                 self._mono_first_shell = shell
                 return shell

@@ -50,7 +50,7 @@ class AffLight(NamedTuple):
 def aff_from_to(exp_f, a_f, b_f, exp_t, a_t, b_t):
     """DSO ``AffLight::fromToVecExposure``: relative (a, b) mapping frame F's
     intensities onto frame T's."""
-    a = jnp.exp(a_t - a_f) * (exp_t / exp_f)
+    a = jnp.exp(a_t - a_f) * (exp_t / jnp.maximum(exp_f, 1e-9))
     b = b_t - a * b_f
     return a, b
 

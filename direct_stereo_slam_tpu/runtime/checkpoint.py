@@ -127,6 +127,7 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
     fe.template_kf_slot = meta["template_kf_slot"]
     a, b = meta["template_ref_aff"]
     fe.template_ref_aff = AffLight(jnp.float32(a), jnp.float32(b))
+    fe.template_ref_aff_np = np.asarray([a, b], np.float32)
     ref_exp = meta.get("template_ref_exposure", 1.0)
     fe.template_ref_exposure = jnp.float32(ref_exp)
     fe.template_ref_exposure_np = ref_exp

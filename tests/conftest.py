@@ -23,8 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _host_cache_dir(base):
+    # the sandbox migrates between hosts with different CPU features;
+    # XLA:CPU AOT cache entries from another microarch load with
+    # machine-feature-mismatch warnings and can SIGILL mid-compile.
+    # Key the cache per host flag-set so a migrated session starts clean.
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+        import hashlib
+        return f"{base}_{hashlib.md5(flags.encode()).hexdigest()[:8]}"
+    except Exception:
+        return base
+
+
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dsslam_jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      _host_cache_dir("/tmp/dsslam_jax_cache_cpu"))
     # the suite compiles MANY ~1s programs (per-level kernels, bucketed BA
     # shapes); a 2s threshold left most of them uncached and the cold suite
     # at >10 min — cache everything non-trivial
