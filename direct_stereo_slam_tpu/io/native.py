@@ -24,22 +24,52 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _host_key() -> str:
+    """Digest of this host's CPU feature flags. The library builds with
+    -march=native; a sandbox migration to a host with a different
+    microarchitecture makes a stale .so emit illegal/mismatched
+    instructions (observed as SIGABRT heap-corruption aborts elsewhere in
+    the process), so the loader rebuilds whenever the flags change."""
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+        return hashlib.md5(flags.encode()).hexdigest()[:12]
+    except Exception:
+        return "unknown"
+
+
 def build_native() -> str:
-    """Compile the shared library (g++, no external deps)."""
+    """Compile the shared library (g++, no external deps) and stamp it
+    with the build host's CPU-flags digest."""
     subprocess.run(["make", "-C", os.path.join(_ROOT, "native")], check=True,
                    capture_output=True)
+    try:
+        with open(_SO + ".hostkey", "w") as f:
+            f.write(_host_key())
+    except OSError:
+        pass
     return _SO
+
+
+def _stale_for_this_host() -> bool:
+    try:
+        with open(_SO + ".hostkey") as f:
+            return f.read().strip() != _host_key()
+    except OSError:
+        return True     # unstamped: assume foreign, rebuild once
 
 
 def _lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO):
+    if not os.path.exists(_SO) or _stale_for_this_host():
         try:
             build_native()
         except Exception as e:  # toolchain missing
-            raise NativeUnavailable(f"cannot build native library: {e}")
+            if not os.path.exists(_SO):
+                raise NativeUnavailable(f"cannot build native library: {e}")
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -67,6 +67,14 @@ class LoopHandler:
         self.ringkeys = retrieval.RingkeyDatabase(
             cfg.loop.knn, cfg.loop.loop_margin, cfg.loop.ringkey_thres)
         self.signatures: List[np.ndarray] = []
+        # ringkey-database ordinal -> self.frames index. Frames that skip
+        # the Scan-Context stage (loop disabled / scale failed / sparse
+        # scan) never enter the database, so database indices and frame
+        # indices diverge; the REFERENCE indexes loop_frames_ with FLANN
+        # indices into ringkeys_ (LoopHandler.cpp:246-262) and silently
+        # retrieves the wrong keyframe after any skipped frame — an
+        # upstream bug, fixed here by explicit translation.
+        self.db_to_frame: List[int] = []
         self.direct_loop_count = 0
         self.icp_loop_count = 0
         self.cur_id = -1
@@ -101,6 +109,7 @@ class LoopHandler:
         if self.threaded:
             self._q.join()
             self._stop.set()
+            self._thread.join(timeout=2.0)
 
     def _run(self):
         while not self._stop.is_set():
@@ -110,6 +119,11 @@ class LoopHandler:
                 continue
             try:
                 self._process(mkf)
+            except Exception:   # noqa: BLE001 — a dead loop thread would
+                # deadlock queue.join() at shutdown; log and keep serving
+                import traceback
+                print("[loop] keyframe processing failed:", flush=True)
+                traceback.print_exc()
             finally:
                 self._q.task_done()
 
@@ -169,11 +183,12 @@ class LoopHandler:
         self.signatures[idx] = sc.signature
 
         with self.timers.span("search_ringkey"):
-            candidates = self.ringkeys.search_and_insert(sc.ringkey)
-        if not candidates:
+            db_candidates = self.ringkeys.search_and_insert(sc.ringkey)
+            self.db_to_frame.append(idx)
+        if not db_candidates:
             return
-        candidates = [c for c in candidates
-                      if self.frames[c].tfm_pca_rig is not None]
+        candidates = [self.db_to_frame[c] for c in db_candidates
+                      if self.frames[self.db_to_frame[c]].tfm_pca_rig is not None]
         if not candidates:
             return
 
@@ -256,11 +271,14 @@ class LoopHandler:
                         direct_ok = True
                         tfm_cur_matched = np.asarray(res.T, np.float64)
                         pose_error = float(res.pose_error) * self.cfg.loop.direct_error_scale
-            if not ref_mode:
-                # pyramid available but photometric verification failed ->
-                # reject even if ICP fitness passed (sparse-cloud ICP is
-                # not trustworthy on its own; see PARITY.md)
-                icp_ok = False
+        if not ref_mode and mkf.pyr is not None and not direct_ok:
+            # a pyramid exists, so photometric verification was the
+            # acceptance gate — reject even if ICP fitness passed
+            # (sparse-cloud ICP is not trustworthy on its own; see
+            # PARITY.md). This also covers the matched-frame-too-sparse
+            # branch (<8 points), where direct alignment never ran:
+            # ICP-only acceptance stays limited to pyramid-less KFs.
+            icp_ok = False
         if ref_mode and not direct_ok:
             # reference fallback: ICP from the PCA seed, accepted on
             # fitness alone (LoopHandler.cpp:286-296)
@@ -311,11 +329,19 @@ class LoopHandler:
         for i, lf in enumerate(self.frames):
             for (j, Z, w_t, w_r) in lf.edges:
                 edges.append((i, j, np.asarray(Z, np.float32), w_t, w_r))
-        poses = np.stack([lf.T_wc for lf in self.frames]).astype(np.float32)
-        data = pose_graph.build_data(poses, edges, fixed_node=len(self.frames) - 1)
+        poses32 = np.stack([lf.T_wc for lf in self.frames]).astype(np.float32)
+        data = pose_graph.build_data(poses32, edges,
+                                     fixed_node=len(self.frames) - 1)
         T_opt = np.asarray(pose_graph.optimize(data, self.cfg.loop.pgo_iterations))
+        # apply the float32 solve as a DELTA on the float64 poses: writing
+        # T_opt back directly would quantize every pose to float32 absolute
+        # resolution (~6-12 cm at km scale) on every accepted loop; the
+        # delta is small, so its float32 error is relative to the
+        # correction, not the position
         for i, lf in enumerate(self.frames):
-            lf.T_wc = T_opt[i].astype(np.float64)
+            delta = T_opt[i].astype(np.float64) @ np.linalg.inv(
+                poses32[i].astype(np.float64))
+            lf.T_wc = delta @ lf.T_wc
 
     # ------------------------------------------------------------------
     # trajectory export (savePose, LoopHandler.cpp:60-80)

@@ -98,11 +98,12 @@ def search_signatures(
 ) -> Tuple[int, float]:
     """search_sc (search_place.h:59-85): best candidate by signature
     difference."""
+    from .scancontext import signature_difference
+
     best_idx = candidates[0]
     best_diff = 1.1
     for c in candidates:
-        prod = float(np.dot(signature, all_signatures[c]))
-        diff = (1.0 - prod / num_sectors) / 2.0
+        diff = signature_difference(signature, all_signatures[c], num_sectors)
         if diff < best_diff:
             best_idx, best_diff = c, diff
     return best_idx, best_diff

@@ -82,7 +82,13 @@ class NearbyPointCloud:
         first[1:] = ks[1:] != ks[:-1]
         sel_idx = order[first & (ks >= 0)]
 
-        # prune the rolling cloud to the surviving points
+        # prune the rolling cloud to the surviving points, and drop pose
+        # records of keyframes with no surviving points (otherwise
+        # id_pose_wc — and the per-scan orientation-trim loop over it —
+        # grows O(total keyframes) on same-heading trajectories)
         self.pts = self.pts[sel_idx]
         self.ids = self.ids[sel_idx]
+        live = set(np.unique(self.ids).tolist())
+        for kf_id in [k for k in self.id_pose_wc if k not in live]:
+            del self.id_pose_wc[kf_id]
         return p_local[sel_idx]

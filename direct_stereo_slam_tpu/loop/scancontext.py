@@ -41,6 +41,13 @@ def align_points_pca(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
             s = proj[np.argmax(np.abs(proj))]
         if s < 0:
             vecs[:, k] = -vecs[:, k]
+    # per-axis sign disambiguation can leave a reflection (det = -1); a
+    # reflected tfm_pca_rig makes the relative seed inv(A) @ B a non-SE(3)
+    # transform that Kabsch ICP can never escape. Restore handedness by
+    # flipping the middle axis (its skewness is the least stable of the
+    # three on ground-plane-dominant scans).
+    if np.linalg.det(vecs) < 0:
+        vecs[:, 1] = -vecs[:, 1]
     aligned = centered @ vecs          # project on v0, v1, v2
     tfm = np.eye(4)
     tfm[:3, :3] = vecs.T

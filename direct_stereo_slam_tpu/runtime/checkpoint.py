@@ -166,7 +166,8 @@ def save_loop_handler(path: str, handler):
     meta = {"frames": [], "n": len(handler.frames),
             "direct_loop_count": handler.direct_loop_count,
             "icp_loop_count": handler.icp_loop_count,
-            "cur_id": handler.cur_id}
+            "cur_id": handler.cur_id,
+            "db_to_frame": list(handler.db_to_frame)}
     for i, lf in enumerate(handler.frames):
         meta["frames"].append({
             "kf_id": lf.kf_id, "incoming_id": lf.incoming_id,
@@ -244,4 +245,5 @@ def load_loop_handler(path: str, handler):
     handler.direct_loop_count = meta["direct_loop_count"]
     handler.icp_loop_count = meta["icp_loop_count"]
     handler.cur_id = meta["cur_id"]
+    handler.db_to_frame = [int(x) for x in meta.get("db_to_frame", [])]
     return handler

@@ -42,9 +42,17 @@ def _host_cache_dir(base):
 try:
     jax.config.update("jax_compilation_cache_dir",
                       _host_cache_dir("/tmp/dsslam_jax_cache_cpu"))
-    # the suite compiles MANY ~1s programs (per-level kernels, bucketed BA
-    # shapes); a 2s threshold left most of them uncached and the cold suite
-    # at >10 min — cache everything non-trivial
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    # READ-mostly cache: XLA:CPU's executable.serialize() intermittently
+    # hard-aborts (SIGABRT) late in a long pytest process on this
+    # platform (observed 3x in r2, always inside
+    # compilation_cache.put_executable_and_time -> serialize). Writes are
+    # therefore disabled during test runs unless explicitly requested;
+    # scripts/prime_cache.py populates the cache in crash-contained
+    # subprocesses (a fresh process serializes the same executables
+    # fine). Cache READS stay enabled either way.
+    if os.environ.get("DSSLAM_CACHE_WRITE"):
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    else:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 except Exception:
     pass

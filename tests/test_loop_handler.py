@@ -159,3 +159,44 @@ def test_loop_disabled_when_scale_failed():
         handler.publish_keyframe(mkf)
     assert handler.direct_loop_count + handler.icp_loop_count == 0
     assert len(handler.frames) == N_KF   # recording continues
+
+
+def test_db_frame_index_translation_with_skipped_frames():
+    """Frames that skip the Scan-Context stage (scale_error < 0) never
+    enter the ringkey database, so database ordinals and frame indices
+    diverge; the handler must translate through db_to_frame. (The
+    REFERENCE indexes loop_frames_ directly with FLANN indices into
+    ringkeys_, LoopHandler.cpp:246-262 — it silently retrieves the wrong
+    keyframe after any skipped frame. Fixed here, regression-covered.)"""
+    cfg, intr, stream, gt, est = make_loop_stream()
+    # make frames 1, 2 and 7 skip (scale failed)
+    for i in (1, 2, 7):
+        stream[i].scale_error = -1.0
+    handler = LoopHandler(cfg, intr, threaded=False)
+    for mkf in stream:
+        handler.publish_keyframe(mkf)
+    # every processed frame got a db entry in order, skipped ones absent
+    expected = [i for i in range(len(stream)) if i not in (1, 2, 7)]
+    assert handler.db_to_frame == expected
+    # a genuine loop is still found and correct despite the offset
+    assert handler.direct_loop_count + handler.icp_loop_count >= 1
+    for k, lf in enumerate(handler.frames):
+        for (j, Z, w_t, w_r) in lf.edges:
+            if k - j <= 1:
+                continue
+            # matched frame must be spatially near the current one (true
+            # revisit), which an off-by-N index would violate
+            d = np.linalg.norm(gt[k][:3, 3] - gt[j][:3, 3])
+            assert d < 4.0, (k, j, d)
+
+
+def test_pca_alignment_is_proper_rotation():
+    from direct_stereo_slam_tpu.loop.scancontext import align_points_pca
+
+    rng = np.random.RandomState(0)
+    for i in range(50):
+        pts = rng.randn(200, 3) * np.array([1.0, 0.3, 2.0]) + rng.randn(3)
+        _, tfm = align_points_pca(pts)
+        R = tfm[:3, :3]
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(R) > 0.99, (i, np.linalg.det(R))
