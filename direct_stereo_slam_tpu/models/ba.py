@@ -216,12 +216,6 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
 
     # back-projection at CURRENT calib/idepth for the residual warp,
     # and at ZERO calib/idepth for the Jacobian geometry.
-    def backproj(u8, v8, idepth, fx, fy, cx, cy):
-        x = (u8 - cx) / fx
-        y = (v8 - cy) / fy
-        z = jnp.ones_like(x)
-        return jnp.stack([x, y, z], -1) / idepth[..., None, None].squeeze(-1)
-
     id_cur = jnp.maximum(state.p_idepth, 1e-6)
     id_zero = jnp.maximum(state.p_idepth_zero, 1e-6)
     Xh_cur = jnp.stack(
@@ -458,8 +452,8 @@ def _prior_diag(state: BAState, cfg: SLAMConfig) -> jnp.ndarray:
     W = state.num_slots
     ba = cfg.ba
     mode_a, mode_b = cfg.tracker.affine_mode_a, cfg.tracker.affine_mode_b
-    a_prior = 1e14 if mode_a < 0 else float(mode_a)
-    b_prior = 1e14 if mode_b < 0 else float(mode_b)
+    a_prior = ba.initial_aff_a_prior if mode_a < 0 else float(mode_a)
+    b_prior = ba.initial_aff_b_prior if mode_b < 0 else float(mode_b)
 
     calib = jnp.full((4,), ba.initial_calib_hessian, jnp.float32)
     per_frame = jnp.concatenate(

@@ -19,9 +19,8 @@ handler.
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -30,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SLAMConfig
-from ..geometry import lie
 from ..geometry.camera import PyramidIntrinsics
 from ..ops.distance_map import build_distance_map
 from ..ops.interp import bilinear_gather
@@ -46,7 +44,6 @@ from .scale_opt import (
 )
 from .tracker import (
     AffLight,
-    aff_from_to,
     make_motion_tries,
     select_winner,
     select_winner_serial,
@@ -82,10 +79,15 @@ def _halfres_distance_map(state, new_slot, K1, h2, w2):
 
 
 def _gate_impl(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
-               cfg, w2, h2):
-    """Device-side activation gate (FrontEnd.cpp:374-443): project each
+               host_flagged, cfg, w2, h2):
+    """Device-side activation gate (FrontEnd.cpp:398-449): project each
     candidate into the new KF at half res with its mid idepth, look up the
-    distance map, and emit (ok, drop) masks."""
+    distance map, and emit (ok, drop) masks. The drop rule is the
+    reference's exact deletion policy: never-successfully-traced or
+    outlier candidates go every pass (cpp:400-408); non-activatable
+    candidates go when their HOST is flagged for marginalization or their
+    trace went out of bounds (cpp:419-428); activatable candidates whose
+    new-frame projection is out of bounds go too (cpp:447-449)."""
     can = immature.can_activate(pts, cfg)
     u1 = (pts.u + 0.5) / 2.0 - 0.5
     v1 = (pts.v + 0.5) / 2.0 - 0.5
@@ -95,22 +97,26 @@ def _gate_impl(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
     z = ptp[:, 2]
     gu = jnp.clip(jnp.floor(ptp[:, 0] / z + 0.5).astype(jnp.int32), 0, w2 - 1)
     gv = jnp.clip(jnp.floor(ptp[:, 1] / z + 0.5).astype(jnp.int32), 0, h2 - 1)
-    in_b = (z > 0) & (gu > 0) & (gv > 0) & (gu < w2 - 1) & (gv < h2 - 1)
+    in_b = (z > 0) & (gu > 0) & (gv > 0) & (gu < w2) & (gv < h2)
     gate = dist_map[gv, gu] >= min_act_dist * pts.my_type
     ok = act_ok & can & in_b & gate
+    never_traced = ~jnp.isfinite(pts.idepth_max) & (
+        pts.status != immature.IPS_UNINITIALIZED)
     drop = pts.valid & (
-        (pts.status == immature.IPS_OUTLIER)
-        | (~in_b & (pts.status == immature.IPS_OOB)))
+        never_traced
+        | (pts.status == immature.IPS_OUTLIER)
+        | (~can & (host_flagged | (pts.status == immature.IPS_OOB)))
+        | (can & ~in_b))
     return ok, drop
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(7, 8, 9))
 def _gate_candidates_all(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
-                         cfg, w2, h2):
+                         host_flagged, cfg, w2, h2):
     """Gate every slot's candidates in ONE dispatch (stacked [S, NI])."""
-    fn = lambda p, ok, k, t: _gate_impl(
-        p, ok, dist_map, k, t, min_act_dist, cfg, w2, h2)
-    return jax.vmap(fn)(pts, act_ok, KRKi1, Kt1)
+    fn = lambda p, ok, k, t, hf: _gate_impl(
+        p, ok, dist_map, k, t, min_act_dist, hf, cfg, w2, h2)
+    return jax.vmap(fn)(pts, act_ok, KRKi1, Kt1, host_flagged)
 
 
 @jax.jit
@@ -137,7 +143,6 @@ def _consume_candidates(imm, consumed):
 def _gather_level_colors(pyr_data, u, v):
     """Level-0 pixel coords [K] -> per-level interpolated intensity [K, L]
     in one compiled dispatch (loop-handler point export)."""
-    from ..ops.interp import bilinear_gather
     cols = []
     for lvl, planes in enumerate(pyr_data):
         ul = (u + 0.5) / (1 << lvl) - 0.5
@@ -450,6 +455,10 @@ class FrontEnd:
 
         # ---- snapped: first frame becomes keyframe 0 ----------------------
         u, v, idepth, T_first_new, _rescale = mono_init.to_points(self.mono_state)
+        # seed the first post-init track with the converged bootstrap pose
+        # (ref -> current warp; the reference carries firstToNew the same
+        # way through initializeFromInitializer, FrontEnd.cpp:914-929)
+        self._post_init_T_hint = np.asarray(T_first_new, np.float64)
         if len(u) < 8:
             # degenerate convergence: restart from the current frame
             self.mono_state = None
@@ -483,7 +492,8 @@ class FrontEnd:
         hit = bilinear_gather(first_pyr.data[0], pu8, pv8)     # [P, 8, 3]
         color = hit[..., 0]
         g2 = hit[..., 1] ** 2 + hit[..., 2] ** 2
-        weight = jnp.sqrt(2500.0 / (2500.0 + g2))
+        c2 = self.cfg.ba.outlier_th_sum_component
+        weight = jnp.sqrt(c2 / (c2 + g2))
         self.ba_state = ba.add_points(
             self.ba_state, jnp.arange(P), slot, uu, vv,
             jnp.asarray(idepth[src], jnp.float32), color, weight,
@@ -531,9 +541,18 @@ class FrontEnd:
         else:
             # first tracked frame after initialization: no motion history.
             # The reference's 2-frame case degenerates to an empty try list
-            # (FrontEnd.cpp:133-135, a known quirk); here identity + the 78
-            # rotation perturbations give the fallback coverage.
-            stage1 = np.stack([np.eye(4, dtype=np.float32)])
+            # (FrontEnd.cpp:133-135, a known quirk); here the bootstrap's
+            # converged first-to-current pose (mono initializer) seeds the
+            # primary candidate — identity alone would force the LM to
+            # re-find the whole init baseline — with identity + the 78
+            # rotation perturbations as fallback coverage.
+            seed = getattr(self, "_post_init_T_hint", None)
+            if seed is not None:
+                stage1 = np.stack([seed.astype(np.float32),
+                                   np.eye(4, dtype=np.float32)])
+                self._post_init_T_hint = None
+            else:
+                stage1 = np.stack([np.eye(4, dtype=np.float32)])
             _, stage2 = make_motion_tries(np.eye(4), np.eye(4), np.eye(4), self.cfg)
             aff_init = AffLight(jnp.float32(0.0), jnp.float32(0.0))
 
@@ -759,7 +778,7 @@ class FrontEnd:
         # ---- activate candidate points (FrontEnd.cpp:341-500) --------------
         # (BUNDLE 2 inside: gating runs on device, one pull of the masks)
         with self.timers.span("activate"):
-            self._activate_points(slot, T_cw, pre_views)
+            self._activate_points(slot, T_cw, pre_views, flagged)
 
         # ---- windowed BA (FrontEndOptimize.cpp:332) ------------------------
         n_active_frames = n_active_before + 1
@@ -918,8 +937,9 @@ class FrontEnd:
                                        cfg.ba.desired_immature_density)
             self.immatures = immature.set_slot(
                 self.immatures, jnp.int32(new_slot),
-                immature.create_points(pyr0.data[0], sel_map,
-                                       self.imm_budget))
+                immature.create_points(
+                    pyr0.data[0], sel_map, self.imm_budget,
+                    cfg.ba.outlier_th_sum_component))
             self.imm_slots.add(new_slot)
 
         # ---- marginalize flagged frames (FrontEndMarginalize.cpp:148-215) --
@@ -1064,7 +1084,7 @@ class FrontEnd:
     # ------------------------------------------------------------------
 
     def _activate_points(self, new_slot: int, T_cw_new: np.ndarray,
-                         pre_views):
+                         pre_views, flagged_slots=()):
         """FrontEnd.cpp:341-500: density-adaptive distance-map gating +
         batched 1-D idepth optimization + insertion into the point pool.
         The distance map AND the per-candidate gates run on device; the
@@ -1130,10 +1150,13 @@ class FrontEnd:
             T_nh1 = T_cw_new @ np.linalg.inv(T_all_old[slot])
             KRKi1[slot] = K @ T_nh1[:3, :3] @ K1i
             Kt1[slot] = K @ T_nh1[:3, 3]
+        host_flagged = np.zeros(S, bool)
+        host_flagged[list(flagged_slots)] = True
         ok_d, drop_d = _gate_candidates_all(
             self.immatures, acts.ok, dist_map,
             jnp.asarray(KRKi1), jnp.asarray(Kt1),
-            jnp.float32(self.current_min_act_dist), cfg, w2, h2)
+            jnp.float32(self.current_min_act_dist),
+            jnp.asarray(host_flagged), cfg, w2, h2)
 
         ok_all, drop_all = jax.device_get((ok_d, drop_d))   # bundle 2
 
@@ -1156,7 +1179,7 @@ class FrontEnd:
         for slot in slots_todo:
             ok = ok_all[slot]
             drop = drop_all[slot]
-            consumed[slot] = ok | drop
+            consumed[slot] = drop
             if not ok.any():
                 continue
             own = np.nonzero(free_rows[slot * P:(slot + 1) * P])[0] + slot * P
@@ -1169,10 +1192,16 @@ class FrontEnd:
             free_rows[seg_free[:k]] = False
             sl = slice(n_fill, n_fill + k)
             src_slot[sl] = slot
-            src_lane[sl] = np.nonzero(ok)[0][:k]
+            taken = np.nonzero(ok)[0][:k]
+            src_lane[sl] = taken
             dst_idx[sl] = seg_free[:k]
             host[sl] = slot
             n_fill += k
+            # only ACTUALLY-inserted candidates are consumed: accepted
+            # lanes beyond the pool budget stay immature (their trace
+            # state keeps refining for a later keyframe) instead of being
+            # destroyed
+            consumed[slot, taken] = True
         if n_fill > 0:
             self.ba_state = _insert_candidates_all(
                 self.ba_state, self.immatures, acts.idepth,
@@ -1197,35 +1226,14 @@ class FrontEnd:
                 self.kf_shells[k].T_wc = pose
 
     def _build_template(self, ref_slot: int, pyr_ref: Pyramid):
-        """makeCoarseDepthL0 input prep: project all window points into the
-        reference KF with BA idepth-hessian weights."""
-        st = self.ba_state
-        lin = ba.linearize(st, self.cfg)
-        views = self._views_np()
-        T_all, calib_np = views[0], views[2]
-        fx0, fy0, cx0, cy0 = calib_np
-        p_host, pu_a, pv_a, pid_a, pvalid_a, Hdd_a = jax.device_get((
-            st.p_host, st.p_u, st.p_v, st.p_idepth, st.p_valid, lin.Hdd))
-        T_rh = np.einsum("ij,hjk->hik", T_all[ref_slot], np.linalg.inv(T_all))
-        Xh = np.stack([
-            (pu_a - cx0) / fx0,
-            (pv_a - cy0) / fy0,
-            np.ones(self.pool, np.float32),
-        ], -1) / np.maximum(pid_a, 1e-6)[:, None]
-        R = T_rh[p_host, :3, :3]
-        t = T_rh[p_host, :3, 3]
-        pt = np.einsum("pij,pj->pi", R, Xh) + t
-        proj_u = fx0 * pt[:, 0] / pt[:, 2] + cx0
-        proj_v = fy0 * pt[:, 1] / pt[:, 2] + cy0
-        new_id = 1.0 / np.maximum(pt[:, 2], 1e-6)
-        valid = pvalid_a & (pt[:, 2] > 0)
-        # weight = sqrt(1e-3 / HdiF) = sqrt(1e-3 * Hdd) (TAS.cpp:158)
-        w = np.sqrt(1e-3 * np.maximum(Hdd_a, 1e-9))
-
+        """makeCoarseDepthL0 input prep (initialization paths; the keyframe
+        pipeline runs the same chain inline in _make_keyframe with the BA
+        loop's Hdd). One device program (ba.template_inputs) does the
+        projection + idepth-hessian weighting; no host math."""
+        ti = ba.template_inputs(self.ba_state, self.cfg, jnp.int32(ref_slot))
         self.template = build_template(
-            jnp.asarray(proj_u), jnp.asarray(proj_v), jnp.asarray(new_id),
-            jnp.asarray(w), pyr_ref.data[0][..., 0], self.levels, self.budgets,
-            valid=jnp.asarray(valid),
+            ti[0], ti[1], ti[2], ti[3], pyr_ref.data[0][..., 0],
+            self.levels, self.budgets, valid=ti[4],
         )
         # template starvation = effectively lost (the reference reaches this
         # as NaN tracking residuals on the next frame)
@@ -1277,6 +1285,7 @@ class FrontEnd:
         self.pot = adapt_potential(self.pot, got, cfg.ba.desired_immature_density)
         self.immatures = immature.set_slot(
             self.immatures, jnp.int32(slot),
-            immature.create_points(pyr0.data[0], sel, self.imm_budget))
+            immature.create_points(pyr0.data[0], sel, self.imm_budget,
+                                   cfg.ba.outlier_th_sum_component))
         self.imm_slots.add(slot)
 

@@ -172,7 +172,7 @@ def trace_points(
     # not worth tracing: interval shorter than slack, or the achievable
     # precision exceeds the interval (DSO's two IPS_SKIPPED conditions)
     skipped = (dist < tc.trace_slack_interval) | (
-        error_px * tc.trace_slack_interval > dist
+        error_px * tc.trace_min_improvement_factor > dist
     )
 
     # ---- discrete search: uniform samples over [0, dist] -----------------
@@ -242,7 +242,9 @@ def trace_points(
 
     # ---- idepth interval update (DSO trace tail) -------------------------
     use_x = dirx * dirx > diry * diry
-    err = error_px * tc.trace_slack_interval
+    # DSO updates the interval to bestU +- errorInPixel (x1.0) — the
+    # slack factor belongs to the skip gates above, not the interval width
+    err = error_px
 
     def id_from_px(uu, vv):
         idx_ = (pr[:, 2] * uu - pr[:, 0]) / jnp.maximum(
@@ -353,17 +355,24 @@ def activate_points(
         n_good = jnp.sum(pair_good.astype(jnp.int32), 0)
         return H_id, b_id, E, n_good
 
+    # LM with the carried-pass structure (one residual_pass per iteration
+    # instead of two: a rejected trial keeps the carried H/b/E, an
+    # accepted one's pass becomes the next linearization — the same
+    # restructure ba._optimize_impl documents at ~2.4x; the [NI, Wn, 8]
+    # warp+gather dominates this dispatch)
     def gn(_, carry):
-        idep, lam = carry
-        H_id, b_id, E, _ = residual_pass(idep)
+        idep, lam, H_id, b_id, E, n_good = carry
         stp = -b_id / jnp.maximum(H_id * (1 + lam), 1e-9)
         new_id = jnp.clip(idep + stp, 1e-5, 50.0)
-        _, _, E2, _ = residual_pass(new_id)
+        H2, b2, E2, n2 = residual_pass(new_id)
         better = E2 < E
-        return jnp.where(better, new_id, idep), jnp.where(better, lam * 0.5, lam * 4.0)
+        sel = lambda a, b: jnp.where(better, a, b)
+        return (sel(new_id, idep), jnp.where(better, lam * 0.5, lam * 4.0),
+                sel(H2, H_id), sel(b2, b_id), sel(E2, E), sel(n2, n_good))
 
-    idep, _ = jax.lax.fori_loop(0, 3, gn, (id0, jnp.full_like(id0, 0.1)))
-    H_id, b_id, E, n_good = residual_pass(idep)
+    H0, b0, E0, ng0 = residual_pass(id0)
+    idep, _, H_id, b_id, E, n_good = jax.lax.fori_loop(
+        0, 3, gn, (id0, jnp.full_like(id0, 0.1), H0, b0, E0, ng0))
 
     ok = (
         pts.valid
