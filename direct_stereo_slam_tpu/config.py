@@ -132,6 +132,16 @@ class BAConfig:
     # fixed array budgets (TPU-first; replaces dynamic vectors)
     max_points_per_frame: int = 512        # active points hosted per KF slot
     max_immature_per_frame: int = 1024
+    # per-slot lane budget for the idepth-LM activation pass: the cheap
+    # projection/distance gates run on ALL candidate lanes first, then the
+    # 4-pass [lanes x window x 8px] gather program runs only on the first
+    # `act_budget` gate-survivors per slot (in lane order, matching the
+    # host's previous first-k insertion rule). Survivors beyond the budget
+    # stay immature for a later keyframe — the same overflow policy the
+    # shared point pool already applies. 256 >= the pool's per-slot segment
+    # (max_points_per_frame / 2 typical steady-state churn), so it only
+    # binds during bootstrap bursts.
+    act_budget: int = 256
 
 
 @dataclass(frozen=True)

@@ -96,7 +96,13 @@ class ApproximateTimeSync:
                 self.dropped += 1
                 continue
             # head pair is within slop; see if the NEXT message on the
-            # earlier stream would match the other head strictly better
+            # earlier stream would match the other head strictly better.
+            # Tie rule (deliberate, tested): a lookahead that only TIES the
+            # current gap does NOT displace the head — strict `<` keeps the
+            # earliest message, so pairing is deterministic and no message
+            # is dropped without a strictly better partner. When ta == tb
+            # both branches are eligible; stream A's lookahead is checked
+            # first (fixed branch order), which is also deterministic.
             if ta <= tb and len(qa) > 1 and abs(qa[1][0] - tb) < gap:
                 qa.popleft()
                 self.dropped += 1

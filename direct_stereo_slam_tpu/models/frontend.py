@@ -78,16 +78,19 @@ def _halfres_distance_map(state, new_slot, K1, h2, w2):
     return build_distance_map(pu2, pv2, proj_ok, h2, w2)
 
 
-def _gate_impl(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
+def _gate_impl(pts, dist_map, KRKi1, Kt1, min_act_dist,
                host_flagged, cfg, w2, h2):
     """Device-side activation gate (FrontEnd.cpp:398-449): project each
     candidate into the new KF at half res with its mid idepth, look up the
-    distance map, and emit (ok, drop) masks. The drop rule is the
-    reference's exact deletion policy: never-successfully-traced or
-    outlier candidates go every pass (cpp:400-408); non-activatable
-    candidates go when their HOST is flagged for marginalization or their
-    trace went out of bounds (cpp:419-428); activatable candidates whose
-    new-frame projection is out of bounds go too (cpp:447-449)."""
+    distance map, and emit (gate_ok, drop) masks. gate_ok covers the CHEAP
+    gates only (pre-gates + projection + distance map); the expensive
+    idepth-LM acceptance is applied afterwards on the compacted survivor
+    set (see _gate_compact_activate). The drop rule is the reference's
+    exact deletion policy: never-successfully-traced or outlier candidates
+    go every pass (cpp:400-408); non-activatable candidates go when their
+    HOST is flagged for marginalization or their trace went out of bounds
+    (cpp:419-428); activatable candidates whose new-frame projection is
+    out of bounds go too (cpp:447-449)."""
     can = immature.can_activate(pts, cfg)
     u1 = (pts.u + 0.5) / 2.0 - 0.5
     v1 = (pts.v + 0.5) / 2.0 - 0.5
@@ -95,11 +98,20 @@ def _gate_impl(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
     xyz = jnp.stack([u1, v1, jnp.ones_like(u1)], -1)
     ptp = jnp.matmul(xyz, KRKi1.T, precision=_HI) + Kt1[None] * id_mid[:, None]
     z = ptp[:, 2]
-    gu = jnp.clip(jnp.floor(ptp[:, 0] / z + 0.5).astype(jnp.int32), 0, w2 - 1)
-    gv = jnp.clip(jnp.floor(ptp[:, 1] / z + 0.5).astype(jnp.int32), 0, h2 - 1)
-    in_b = (z > 0) & (gu > 0) & (gv > 0) & (gu < w2) & (gv < h2)
+    # bounds-test the UNCLIPPED rounded coords (DSO checks the raw int,
+    # FrontEnd.cpp:398-401); clip only for the dist_map gather so lanes
+    # that fail in_b still index safely. Clipping before the test made
+    # the right/bottom checks vacuously true and the reference's deletion
+    # of activatable-but-OOB candidates (cpp:447-449) never fired there.
+    zs = jnp.where(z == 0, 1e-9, z)
+    gu_raw = jnp.floor(ptp[:, 0] / zs + 0.5).astype(jnp.int32)
+    gv_raw = jnp.floor(ptp[:, 1] / zs + 0.5).astype(jnp.int32)
+    gu = jnp.clip(gu_raw, 0, w2 - 1)
+    gv = jnp.clip(gv_raw, 0, h2 - 1)
+    in_b = ((z > 0) & (gu_raw > 0) & (gv_raw > 0)
+            & (gu_raw < w2 - 1) & (gv_raw < h2 - 1))
     gate = dist_map[gv, gu] >= min_act_dist * pts.my_type
-    ok = act_ok & can & in_b & gate
+    gate_ok = can & in_b & gate
     never_traced = ~jnp.isfinite(pts.idepth_max) & (
         pts.status != immature.IPS_UNINITIALIZED)
     drop = pts.valid & (
@@ -107,27 +119,61 @@ def _gate_impl(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
         | (pts.status == immature.IPS_OUTLIER)
         | (~can & (host_flagged | (pts.status == immature.IPS_OOB)))
         | (can & ~in_b))
-    return ok, drop
+    return gate_ok, drop
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9))
-def _gate_candidates_all(pts, act_ok, dist_map, KRKi1, Kt1, min_act_dist,
-                         host_flagged, cfg, w2, h2):
-    """Gate every slot's candidates in ONE dispatch (stacked [S, NI])."""
-    fn = lambda p, ok, k, t, hf: _gate_impl(
-        p, ok, dist_map, k, t, min_act_dist, hf, cfg, w2, h2)
-    return jax.vmap(fn)(pts, act_ok, KRKi1, Kt1, host_flagged)
+@partial(jax.jit, static_argnums=(12, 13, 14, 15))
+def _gate_compact_activate(imm, dist_map, KRKi1, Kt1, min_act_dist,
+                           host_flagged, images, frame_valid, T_cw, aff,
+                           calib, exposure, cfg, w2, h2, budget):
+    """Gate-then-activate (round-3 perf restructure of FrontEnd.cpp:341-500).
+
+    Round 2 ran the 4-pass idepth-LM gather program over EVERY candidate
+    lane ([S x NI x W x 8px], 209 ms/KF measured on chip) and gated
+    afterwards. Here the CHEAP gates (pre-gates, projection bounds,
+    distance map) run on all lanes first, then the survivors of each slot
+    are compacted IN LANE ORDER into a fixed [S, budget] subset and only
+    that subset pays the LM — ~NI/budget (4-8x) less gather work at
+    identical acceptance semantics: the final ok is gate_ok & lm_ok, and
+    lane-order compaction reproduces the host's previous first-k insertion
+    rule exactly whenever survivors <= budget. Overflow lanes stay
+    immature for a later keyframe (the shared pool's existing policy).
+    Returns (ok [S,B], idepth [S,B], lane [S,B] original lane map,
+    drop [S,NI])."""
+    gate_fn = lambda p, k, t, hf: _gate_impl(
+        p, dist_map, k, t, min_act_dist, hf, cfg, w2, h2)
+    gate_ok, drop = jax.vmap(gate_fn)(imm, KRKi1, Kt1, host_flagged)
+    # compact survivors per slot, preserving lane order (stable sort keys:
+    # ~gate_ok so True lanes come first)
+    lane = jnp.argsort(~gate_ok, axis=1, stable=True)[:, :budget]
+    sel_ok = jnp.take_along_axis(gate_ok, lane, axis=1)
+
+    def take(a):
+        idx = lane
+        while idx.ndim < a.ndim:
+            idx = idx[..., None]
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    sub = jax.tree_util.tree_map(take, imm)
+    S = gate_ok.shape[0]
+    acts = immature.activate_points_all(
+        sub, jnp.arange(S, dtype=jnp.int32), images, frame_valid,
+        T_cw, aff, calib, exposure, cfg)
+    ok = sel_ok & acts.ok
+    return ok, acts.idepth, lane, drop
 
 
 @jax.jit
-def _insert_candidates_all(state, imm, act_idepth, src_slot, src_lane,
-                           dst_idx, valid, host):
+def _insert_candidates_all(state, imm, act_idepth, src_slot, src_sub_lane,
+                           src_lane, dst_idx, valid, host):
     """Insert accepted candidates from EVERY slot into the point pool in
-    ONE scatter (fixed pool-size batch; invalid lanes drop)."""
+    ONE scatter (fixed pool-size batch; invalid lanes drop). src_lane
+    indexes the full [S, NI] candidate set; src_sub_lane indexes the
+    compacted [S, act_budget] activation outputs."""
     return ba.add_points(
         state, dst_idx, host,
         imm.u[src_slot, src_lane], imm.v[src_slot, src_lane],
-        act_idepth[src_slot, src_lane],
+        act_idepth[src_slot, src_sub_lane],
         imm.color[src_slot, src_lane], imm.weight[src_slot, src_lane],
         valid,
     )
@@ -449,7 +495,8 @@ class FrontEnd:
                 self._mono_first_shell = shell
                 return shell
             shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
-                               np.zeros(2, np.float32))
+                               np.zeros(2, np.float32),
+                               exposure=self._cur_exposure)
             self.all_frames.append(shell)
             return shell
 
@@ -464,7 +511,8 @@ class FrontEnd:
             self.mono_state = None
             self._mono_first_pyr = None
             shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
-                               np.zeros(2, np.float32))
+                               np.zeros(2, np.float32),
+                               exposure=self._cur_exposure)
             self.all_frames.append(shell)
             return shell
         first_pyr = self._mono_first_pyr
@@ -1127,21 +1175,18 @@ class FrontEnd:
         views_dev = ba.current_views(st)
         T_cw_j, aff_j, calib_j = views_dev[0], views_dev[1], views_dev[2]
 
-        # Phases: (1) enqueue activation + gating for ALL slots as two
-        # vmapped dispatches (a per-slot loop pays the multi-ms dispatch
-        # delivery latency 3x7 times per KF on a remote-attached chip);
-        # (2) ONE blocking pull of the stacked (ok, drop) masks — bundle 2;
-        # (3) host insertion bookkeeping, then ONE fused pool scatter and
-        # ONE candidate-consumption update.
+        # Phases: (1) ONE fused gate->compact->activate dispatch (cheap
+        # gates on all [S, NI] lanes, the expensive idepth LM only on the
+        # first act_budget survivors per slot — see _gate_compact_activate);
+        # (2) ONE blocking pull of the stacked (ok, lane, drop) masks —
+        # bundle 2; (3) host insertion bookkeeping, then ONE fused pool
+        # scatter and ONE candidate-consumption update.
         slots_todo = [s for s in self.imm_slots if s != new_slot]
         if not slots_todo:
             return
         S = self.n_slots
         T_all_old = pre_views[0]
         K1i = np.linalg.inv(K)
-        acts = immature.activate_points_all(
-            self.immatures, jnp.arange(S, dtype=jnp.int32), images,
-            frame_valid, T_cw_j, aff_j, calib_j, st.exposure, cfg)
         # host 4x4 math from the bundle-1 snapshot (old slots' poses have
         # not moved since) + the new KF's host-known pose
         KRKi1 = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
@@ -1152,13 +1197,16 @@ class FrontEnd:
             Kt1[slot] = K @ T_nh1[:3, 3]
         host_flagged = np.zeros(S, bool)
         host_flagged[list(flagged_slots)] = True
-        ok_d, drop_d = _gate_candidates_all(
-            self.immatures, acts.ok, dist_map,
+        ok_d, idepth_d, lane_d, drop_d = _gate_compact_activate(
+            self.immatures, dist_map,
             jnp.asarray(KRKi1), jnp.asarray(Kt1),
             jnp.float32(self.current_min_act_dist),
-            jnp.asarray(host_flagged), cfg, w2, h2)
+            jnp.asarray(host_flagged), images, frame_valid,
+            T_cw_j, aff_j, calib_j, st.exposure,
+            cfg, w2, h2, cfg.ba.act_budget)
 
-        ok_all, drop_all = jax.device_get((ok_d, drop_d))   # bundle 2
+        ok_all, lane_all, drop_all = jax.device_get(
+            (ok_d, lane_d, drop_d))   # bundle 2
 
         # insert accepted into free pool rows: the host's own segment
         # first (locality), then OVERFLOW into any other free rows — the
@@ -1171,14 +1219,15 @@ class FrontEnd:
         free_rows = ~pvalid_a.copy()      # decremented across slots
         B = self.pool
         src_slot = np.zeros(B, np.int32)
+        src_sub_lane = np.zeros(B, np.int32)
         src_lane = np.zeros(B, np.int32)
         dst_idx = np.zeros(B, np.int32)
         host = np.zeros(B, np.int32)
         n_fill = 0
-        consumed = np.zeros_like(ok_all)
+        consumed = np.zeros_like(drop_all)
         for slot in slots_todo:
-            ok = ok_all[slot]
-            drop = drop_all[slot]
+            ok = ok_all[slot]           # [act_budget], compacted lanes
+            drop = drop_all[slot]       # [NI], original lanes
             consumed[slot] = drop
             if not ok.any():
                 continue
@@ -1192,7 +1241,9 @@ class FrontEnd:
             free_rows[seg_free[:k]] = False
             sl = slice(n_fill, n_fill + k)
             src_slot[sl] = slot
-            taken = np.nonzero(ok)[0][:k]
+            taken_sub = np.nonzero(ok)[0][:k]      # compacted indices
+            taken = lane_all[slot][taken_sub]      # original lane indices
+            src_sub_lane[sl] = taken_sub
             src_lane[sl] = taken
             dst_idx[sl] = seg_free[:k]
             host[sl] = slot
@@ -1204,8 +1255,9 @@ class FrontEnd:
             consumed[slot, taken] = True
         if n_fill > 0:
             self.ba_state = _insert_candidates_all(
-                self.ba_state, self.immatures, acts.idepth,
-                jnp.asarray(src_slot), jnp.asarray(src_lane),
+                self.ba_state, self.immatures, idepth_d,
+                jnp.asarray(src_slot), jnp.asarray(src_sub_lane),
+                jnp.asarray(src_lane),
                 jnp.asarray(dst_idx), jnp.asarray(np.arange(B) < n_fill),
                 jnp.asarray(host),
             )

@@ -172,6 +172,7 @@ def save_loop_handler(path: str, handler):
         meta["frames"].append({
             "kf_id": lf.kf_id, "incoming_id": lf.incoming_id,
             "dso_error": lf.dso_error, "scale_error": lf.scale_error,
+            "exposure": float(lf.exposure),
             "edges": [
                 {"j": int(j), "w_t": float(w_t), "w_r": float(w_r), "idx": k}
                 for k, (j, Z, w_t, w_r) in enumerate(lf.edges)
@@ -218,6 +219,7 @@ def load_loop_handler(path: str, handler):
             kf_id=fm["kf_id"], incoming_id=fm["incoming_id"],
             T_wc=arrays[f"f{i}.T_wc"], t_wc_orig=arrays[f"f{i}.t_orig"],
             dso_error=fm["dso_error"], scale_error=fm["scale_error"],
+            exposure=fm.get("exposure", 1.0),
         )
         for e in fm["edges"]:
             lf.edges.append((e["j"], arrays[f"f{i}.e{e['idx']}.Z"],

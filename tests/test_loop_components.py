@@ -136,6 +136,48 @@ class TestPoseGraph:
         moved = np.linalg.norm(T_opt[0][:3, 3] - est[0][:3, 3])
         assert moved > 0.1
 
+    def test_information_block_convention(self):
+        """Pin the g2o edge-weight semantics (LoopHandler.h:50-64 parity):
+        the reference builds `g2o::EdgeSE3` edges whose error vector is
+        `internal::toVectorMQT(delta)` — TRANSLATION in components 0-2,
+        compact quaternion (rotation) in 3-5 — so `topLeftCorner<3,3> *=
+        1/scale_error` weights translation and `bottomRightCorner<3,3> *=
+        POSE_R_WEIGHT` weights rotation (matching the header comment: DSO
+        rotation is more accurate than translation). Our tangent order is
+        also translation-first ([t, w], lie.py:4), with edge_w_t on r[0:3]
+        and edge_w_r on r[3:6]. This test asserts the behavior: with the
+        translation weight >> rotation weight, a conflicting loop edge
+        corrects the translation and leaves rotation nearly untouched, and
+        vice versa."""
+        def solve(w_t, w_r):
+            # two nodes; odometry says identity; node 1 fixed.
+            est = np.stack([np.eye(4, dtype=np.float32)] * 2)
+            # loop edge wants node 0 moved +1m in x AND yawed 0.3 rad
+            xi = jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, 0.3], jnp.float32)
+            T_tgt = np.asarray(lie.se3_exp(xi))  # desired T_w0
+            Z = np.linalg.inv(est[1]) @ T_tgt    # measurement T_1->0
+            edges = [
+                # weak identity odometry edge resisting both corrections
+                (1, 0, np.eye(4, dtype=np.float32), 1.0, 1.0),
+                (1, 0, Z.astype(np.float32), w_t, w_r),
+            ]
+            data = pose_graph.build_data(est, edges, fixed_node=1)
+            T = np.asarray(pose_graph.optimize(data, 20))
+            dt = np.linalg.norm(T[0][:3, 3] - T_tgt[:3, 3])
+            dr = np.asarray(lie.se3_log(jnp.asarray(
+                np.linalg.inv(T_tgt) @ T[0], jnp.float32)))[3:]
+            return dt, np.linalg.norm(dr)
+
+        # translation-heavy information: translation snaps to the loop
+        # edge, rotation stays near the (identity) odometry compromise
+        dt, dr = solve(w_t=1e6, w_r=1.0)
+        assert dt < 1e-3, dt
+        assert dr > 0.1, dr
+        # rotation-heavy information: the opposite
+        dt, dr = solve(w_t=1.0, w_r=1e6)
+        assert dr < 1e-3, dr
+        assert dt > 0.3, dt
+
     def test_cg_solver_matches_dense(self):
         """The matrix-free block-Jacobi PCG backend must reproduce the
         dense solve (same GN trajectory) on a drifted loop chain."""

@@ -59,10 +59,21 @@ def test_sequence_gap_reinit_and_restart_marker():
     assert node.frontend.initialized
     assert not node.frontend.is_lost
 
-    # the loop handler got KFs from BOTH sequences with increasing ids
+    # the loop handler got KFs from BOTH sequences with increasing ids.
+    # NOTE: do not gate on an exact count — KF cadence on this synthetic
+    # sequence shifts whenever tracking/selection policy is tuned (it did
+    # in round 2 with the serial escalation rule and deeper auto pyramid
+    # levels, both reviewed A/B policy changes in PARITY.md). What the
+    # restart-marker assertions structurally need is at least one
+    # marginalized KF on EACH side of the gap.
     ids = [lf.kf_id for lf in handler.frames]
     assert ids == sorted(ids)
-    assert len(ids) >= 4
+    pre_gap = [i for i in ids if i < kfs_before]
+    post_gap = [i for i in ids if i >= kfs_before]
+    assert len(pre_gap) >= 1, \
+        f"need >=1 marginalized KF from the first sequence, got ids={ids}"
+    assert len(post_gap) >= 1, \
+        f"need >=1 marginalized KF from the new sequence, got ids={ids}"
 
     # restart marker: exactly the first post-gap marginalized KF has a
     # non-finite dso_error => no odometry edge to the previous sequence
@@ -70,6 +81,10 @@ def test_sequence_gap_reinit_and_restart_marker():
                      if lf.kf_id >= kfs_before)
     assert first_new > 0, "need marginalized KFs from the first sequence"
     lf = handler.frames[first_new]
+    # the marker itself (FrontEndMarginalize.cpp:197-202 parity): the first
+    # marginalized KF of the new sequence exports dso_error = NaN
+    assert not math.isfinite(lf.dso_error), \
+        f"restart KF {lf.kf_id} must export dso_error=NaN, got {lf.dso_error}"
     assert not any(j == first_new - 1 for j, *_ in lf.edges), \
         "restart KF must not be chained to the previous sequence"
     # and the following KFs resume normal odometry edges

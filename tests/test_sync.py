@@ -59,6 +59,22 @@ def test_prefers_closer_lookahead():
     assert [(a, b) for _, a, _, b in out] == [("A1", "b")]
 
 
+def test_exact_tie_keeps_head():
+    # lookahead that only TIES the current gap must not displace the head:
+    # a=0.95 and a=1.05 are equidistant from b=1.00 — the earlier head wins
+    # (strict `<` in _drain's lookahead; deliberate deterministic tie rule)
+    out = _pairs([(0.95, "A0"), (1.05, "A1")], [(1.00, "b")], slop=0.1)
+    assert [(a, b) for _, a, _, b in out] == [("A0", "b")]
+
+
+def test_equal_timestamp_heads_pair_immediately():
+    # ta == tb with a same-stamp lookahead on each side: the heads pair
+    # (gap 0 can never be beaten), lookaheads pair next — nothing dropped
+    out = _pairs([(1.0, "A0"), (2.0, "A1")], [(1.0, "b0"), (2.0, "b1")],
+                 slop=0.5)
+    assert [(a, b) for _, a, _, b in out] == [("A0", "b0"), ("A1", "b1")]
+
+
 def test_queue_bound_and_dropped_counter():
     sync = ApproximateTimeSync(slop=0.001, queue_size=3)
     for i in range(10):
