@@ -153,23 +153,46 @@ def _compute_crop_K(model: CameraModel, out_w: int, out_h: int):
             (model.cy + 0.5) * sy - 0.5,
         )
 
-    # For distorted models: grid-search the min/max of valid normalized coords
-    us = np.linspace(0, model.in_w - 1, 100)
-    vs = np.linspace(0, model.in_h - 1, 100)
-    # invert distortion numerically over the raw image grid to bound the
-    # ideal-coordinate extent; then choose K covering the central region.
+    # For distorted models: find the LARGEST ideal-coordinate box whose
+    # every border point maps inside the raw image after distortion —
+    # DSO's makeOptimalK_crop guarantee (every output pixel valid), done
+    # as bound-then-shrink instead of its randomized sampling.
+    us = np.linspace(0, model.in_w - 1, 200)
+    vs = np.linspace(0, model.in_h - 1, 200)
     uu, vv = np.meshgrid(us, vs)
     xd = (uu - model.cx) / model.fx
     yd = (vv - model.cy) / model.fy
     # approximate undistortion by fixed-point iteration
     xn, yn = xd.copy(), yd.copy()
-    for _ in range(20):
+    for _ in range(30):
         xdd, ydd = _distort_point(model, xn, yn)
         xn += xd - xdd
         yn += yd - ydd
-    # conservative inner box (central 98%)
-    x_lo, x_hi = np.percentile(xn, 1), np.percentile(xn, 99)
-    y_lo, y_hi = np.percentile(yn, 1), np.percentile(yn, 99)
+    # start from the full ideal extent and shrink toward the center until
+    # the box's distorted BORDER lies inside the raw image (the extrema
+    # of a monotone radial distortion are on the border)
+    x_lo, x_hi = xn.min(), xn.max()
+    y_lo, y_hi = yn.min(), yn.max()
+    t = np.linspace(0.0, 1.0, 256)
+    ones = np.ones_like(t)
+
+    def border_inside(xl, xh, yl, yh):
+        bx = np.concatenate([xl + (xh - xl) * t, xl + (xh - xl) * t,
+                             xl * ones, xh * ones])
+        by = np.concatenate([yl * ones, yh * ones,
+                             yl + (yh - yl) * t, yl + (yh - yl) * t])
+        dx, dy = _distort_point(model, bx, by)
+        su = model.fx * dx + model.cx
+        sv = model.fy * dy + model.cy
+        return (su.min() >= 0 and su.max() <= model.in_w - 1.001
+                and sv.min() >= 0 and sv.max() <= model.in_h - 1.001)
+
+    for _ in range(400):
+        if border_inside(x_lo, x_hi, y_lo, y_hi):
+            break
+        mx, my = 0.5 * (x_lo + x_hi), 0.5 * (y_lo + y_hi)
+        x_lo, x_hi = mx + (x_lo - mx) * 0.995, mx + (x_hi - mx) * 0.995
+        y_lo, y_hi = my + (y_lo - my) * 0.995, my + (y_hi - my) * 0.995
     fx = (out_w - 1) / (x_hi - x_lo)
     fy = (out_h - 1) / (y_hi - y_lo)
     cx = -x_lo * fx
