@@ -1,20 +1,33 @@
 """Benchmark: stereo tracking + scale-optimization throughput per chip,
-plus the END-TO-END SLAMNode pipeline with a per-stage timing table.
+plus the END-TO-END SLAMNode pipeline with an honest per-stage profile.
 
-Two measurements at KITTI resolution (1232x368, preset-0 budgets):
+Measurements at KITTI resolution (1232x368, preset-0 budgets):
 
 1. hot path — the per-frame program alone (coarse-to-fine LM tracking +
    amortized 1-DoF stereo scale optimization) on device-resident frames;
-2. e2e — the full ``SLAMNode.process`` loop on a synthetic sequence:
-   real host winner selection, keyframe pipeline (trace / activate /
-   windowed BA / template / scale opt), marginalization and the
-   (synchronous) loop-closure stack, with the per-stage wall-clock table
-   mirroring the reference's shutdown stats (main.cpp:181-201).
+2. batch sweep — the same program vmapped over B in {8, 16, 32}
+   independent sequences on ONE chip (BASELINE config 5 scaling story);
+3. e2e — the full ``SLAMNode.process`` loop on a synthetic forward
+   sequence: real host winner selection, keyframe pipeline (trace /
+   activate / windowed BA / template / scale opt), marginalization and
+   the (synchronous) loop-closure stack. Two tables:
+   - ``stages_ms``: async wall-clock spans (the r2 table) — what the
+     pipeline FEELS like, but device work drains inside whichever stage
+     blocks first;
+   - ``stages_sync_ms``: a separate profiled pass with a device barrier
+     at every span exit + blocking-pull accounting (``pulls``). Each
+     stage's number includes its own device time plus one barrier RTT
+     (``barrier_ms``, measured — subtract it per span to compare);
+4. e2e_loop — a revisit lap (loop trajectory, loop_margin=4 override
+   documented below) so sc_generation / search_sc / direct_est / icp /
+   pose_graph_opt appear with nonzero counts and >=1 loop VERIFIABLY
+   closes (asserted).
 
 Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/baseline,
-     "e2e_fps": N, "e2e_per_frame_ms": N, "stages_ms": {...}}
+     "e2e_fps": N, "stages_ms": {...}, "stages_sync_ms": {...},
+     "pulls": {...}, "loop_stages_ms": {...}, ...}
 
 baseline = 100 FPS, the north-star target from BASELINE.md (>=10x real-time
 per chip; the C++ reference runs roughly realtime, ~10 FPS, on its CPU).
@@ -27,13 +40,11 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _setup_cache(jax):
     # persistent compilation cache: first bench run pays ~1-2 min of TPU
-    # compiles; subsequent runs start hot
+    # compiles; subsequent runs start hot. Host-keyed: stale AOT entries
+    # from a pre-migration host microarch can SIGILL (tests/conftest.py).
     try:
-        # host-keyed cache: stale AOT entries from a pre-migration host
-        # microarch can SIGILL (see tests/conftest.py)
         import hashlib
         try:
             with open("/proc/cpuinfo") as f:
@@ -46,6 +57,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+
+
+def main():
+    import jax
+    _setup_cache(jax)
     import jax.numpy as jnp
 
     from direct_stereo_slam_tpu.config import make_config
@@ -123,54 +139,96 @@ def main():
     fps = N_FRAMES / dt
     baseline = 100.0
 
-    # ---- batched multi-sequence throughput (BASELINE config 5) ----------
+    # ---- batched multi-sequence throughput sweep (BASELINE config 5) -----
     # vmap the same per-frame program over B independent sequences on ONE
-    # chip: the batch-eval scaling story (SURVEY §2.3), and a
-    # tunnel-independent aggregate-throughput metric.
-    B = 8
-    tmpl_b = jax.tree_util.tree_map(
-        lambda x: jnp.stack([x] * B), tmpl)
+    # chip: the batch-eval scaling story (SURVEY §2.3).
+    batch_fps = {}
+    for B in (8, 16, 32):
+        tmpl_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), tmpl)
 
-    @jax.jit
-    def frame_step_batch(imgs, T_inits):
-        def one_seq(img, tm, T0):
-            pyr = build_pyramid(img, LVLS)
-            return track_candidate(
-                tuple(pyr.data), tm, intr, cfg, T0, zero, zero, one, one)
-        return jax.vmap(one_seq)(imgs, tmpl_b, T_inits)
+        @jax.jit
+        def frame_step_batch(imgs, T_inits, tmpl_b=tmpl_b):
+            def one_seq(img, tm, T0):
+                pyr = build_pyramid(img, LVLS)
+                return track_candidate(
+                    tuple(pyr.data), tm, intr, cfg, T0, zero, zero, one, one)
+            return jax.vmap(one_seq)(imgs, tmpl_b, T_inits)
 
-    imgs_b = jnp.stack([img_new] * B)
-    Tb = jnp.stack([jnp.eye(4)] * B)
-    frame_step_batch(imgs_b, Tb).T.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(N_FRAMES):
-        outb = frame_step_batch(imgs_b, Tb)
-    outb.T.block_until_ready()
-    batch_fps = B * N_FRAMES / (time.perf_counter() - t0)
+        imgs_b = jnp.stack([img_new] * B)
+        Tb = jnp.stack([jnp.eye(4)] * B)
+        frame_step_batch(imgs_b, Tb).T.block_until_ready()
+        n_iter = max(30 // (B // 8), 10)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            outb = frame_step_batch(imgs_b, Tb)
+        outb.T.block_until_ready()
+        batch_fps[B] = round(B * n_iter / (time.perf_counter() - t0), 2)
 
     e2e = bench_e2e(jax)
+    loop = bench_loop(jax)
 
     print(json.dumps({
         "metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / baseline, 3),
-        "batch8_aggregate_fps": round(batch_fps, 2),
+        "batch8_aggregate_fps": batch_fps[8],
+        "batch_sweep_fps": {str(k): v for k, v in batch_fps.items()},
         **e2e,
+        **loop,
     }))
+
+
+STAGE_NAMES = [
+    "track", "feature_detect", "scale_opt", "dso_opt", "trace",
+    "activate", "template", "point_marg", "frame_marg",
+    "pts_generation", "sc_generation", "search_ringkey", "search_sc",
+    "direct_est", "icp", "pose_graph_opt", "per_frame",
+]
+
+
+def _run_node(jax, frames, cfg, intr, t_cam1_cam0, sync=False,
+              count_pulls=False):
+    """One SLAMNode pass over pre-rendered frames; returns (dt, timers,
+    handler)."""
+    from contextlib import nullcontext
+
+    from direct_stereo_slam_tpu.loop.handler import LoopHandler
+    from direct_stereo_slam_tpu.runtime.node import SLAMNode
+    from direct_stereo_slam_tpu.utils.timing import (
+        StageTimers, instrument_pulls)
+
+    timers = StageTimers(sync=sync)
+    handler = LoopHandler(cfg, intr, timers=timers, threaded=False)
+    node = SLAMNode(cfg, intr, intr, t_cam1_cam0, loop_handler=handler)
+    node.timers = timers
+    node.frontend.timers = timers
+    ctx = instrument_pulls(timers) if count_pulls else nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        for img0, img1, ts in frames:
+            node.process(img0, img1, ts)
+        node.finish()
+        dt = time.perf_counter() - t0
+    return dt, timers, handler
+
+
+def _stage_table(timers):
+    return {n: round(timers.average_ms(n), 3)
+            for n in STAGE_NAMES if timers.count(n) > 0}
 
 
 def bench_e2e(jax, n_frames=40):
     """Full SLAMNode pipeline at KITTI resolution on a synthetic forward
-    sequence. One cold pass (compiles), one warm timed pass. The loop
-    handler runs SYNCHRONOUSLY so its stages land in the same per-frame
-    budget (conservative: the runtime default offloads them to a thread)."""
+    sequence. One cold pass (compiles), two warm async passes (keep the
+    faster: the remote-attached chip's round-trip latency varies
+    several-fold between runs — measured 26-86 ms per pull within
+    minutes), then ONE profiled pass (device barrier per span + pull
+    accounting) for the honest table."""
     from direct_stereo_slam_tpu.config import make_config
     from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
     from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
-    from direct_stereo_slam_tpu.loop.handler import LoopHandler
-    from direct_stereo_slam_tpu.runtime.node import SLAMNode
-    from direct_stereo_slam_tpu.utils.timing import StageTimers
+    from direct_stereo_slam_tpu.utils.timing import barrier_overhead_ms
 
     W, H = 1232, 368
     ds = SyntheticStereoDataset(n_frames=n_frames, width=W, height=H,
@@ -187,45 +245,94 @@ def bench_e2e(jax, n_frames=40):
         frames.append((f["img0"], f["img1"], float(f["timestamp"])))
     jax.block_until_ready(frames[-1][0])
 
-    def run():
-        timers = StageTimers()
-        handler = LoopHandler(cfg, intr, timers=timers, threaded=False)
-        node = SLAMNode(cfg, intr, intr, ds.t_cam1_cam0,
-                        loop_handler=handler)
-        node.timers = timers
-        node.frontend.timers = timers
-        t0 = time.perf_counter()
-        for img0, img1, ts in frames:
-            node.process(img0, img1, ts)
-        node.finish()
-        dt = time.perf_counter() - t0
-        return dt, timers
-
+    run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)
     run()                       # cold: compiles
-    # two warm passes, keep the faster: the remote-attached chip's
-    # host<->device round-trip latency varies several-fold between runs
-    # (measured 26-86 ms per pull within minutes), and e2e is round-trip
-    # bound, so a single pass mostly samples tunnel weather
-    dt_a, timers_a = run()
-    dt_b, timers_b = run()
+    dt_a, timers_a, _ = run()
+    dt_b, timers_b, _ = run()
     dt, timers = (dt_a, timers_a) if dt_a <= dt_b else (dt_b, timers_b)
 
-    stage_names = [
-        "track", "feature_detect", "scale_opt", "dso_opt", "trace",
-        "activate", "template", "point_marg", "frame_marg",
-        "pts_generation", "sc_generation", "search_ringkey", "search_sc",
-        "direct_est", "icp", "pose_graph_opt", "per_frame",
-    ]
-    stages = {
-        n: round(timers.average_ms(n), 3)
-        for n in stage_names if timers.count(n) > 0
-    }
-    e2e_fps = n_frames / dt
+    barrier_ms = barrier_overhead_ms()
+    _, sync_timers, _ = run(sync=True, count_pulls=True)
+
     return {
-        "e2e_fps": round(e2e_fps, 2),
+        "e2e_fps": round(n_frames / dt, 2),
         "e2e_per_frame_ms": round(1000.0 * dt / n_frames, 3),
         "e2e_frames": n_frames,
-        "stages_ms": stages,
+        "stages_ms": _stage_table(timers),
+        "stages_sync_ms": _stage_table(sync_timers),
+        "barrier_ms": round(barrier_ms, 2),
+        "pulls": sync_timers.pull_stats(),
+    }
+
+
+def bench_loop(jax, n_frames=100):
+    """Revisit lap at KITTI resolution with a SAME-HEADING revisit: 1.45
+    laps of a circle, so the tail retraces the first segment with matching
+    camera orientation — the geometry loop closure actually needs (like
+    KITTI's revisits). A bare 1.0-lap circle never closes: Scan Context is
+    place-only (heading-agnostic in a 40 m-range room), so its matches can
+    face 90-250 deg away from the current frame, leaving direct alignment
+    zero visual overlap and ICP a divergent seed (measured: 0 closures in
+    70 frames; with the retrace, 5 direct closures in 100).
+
+    loop_margin is lowered to 12 KF-entries (the synthetic lap is ~35 KFs
+    end to end — far shorter than the KITTI revisit intervals the default
+    100 insertion lag is sized for; the lag policy itself is covered by
+    tests/test_loop_components). Asserts >=1 verified loop closure so the
+    loop stack's cost on the critical path is actually measured, covering
+    the reference's full 17-stage shutdown table (main.cpp:181-201)."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from direct_stereo_slam_tpu.config import make_config
+    from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
+    from direct_stereo_slam_tpu.io.synthetic import (
+        SyntheticStereoDataset, default_scene, loop_trajectory)
+
+    W, H = 1232, 368
+    # box-rich room (same construction as tests/test_full_slam.py): the
+    # bare-walls default is too texture-poor for reliable revisit tracking
+    rngb = np.random.RandomState(7)
+    centers = []
+    while len(centers) < 14:
+        c = rngb.uniform(-22, 22, 3)
+        c[1] = rngb.uniform(-1.5, 0.5)
+        c[2] = rngb.uniform(-14, 30)
+        if np.hypot(c[0], c[2] - 8.0) < 4.0 or np.hypot(c[0], c[2] - 8.0) > 13.0:
+            centers.append(c)
+    scene = default_scene(wall_x=25.0, front_z=45.0, back_z=-25.0)
+    scene = scene._replace(
+        box_centers=jnp.asarray(np.stack(centers), jnp.float32),
+        box_half=jnp.asarray(rngb.uniform(0.5, 2.0, (14, 3)), jnp.float32),
+        box_phase=jnp.asarray(rngb.uniform(0, 6.28, (14, 2)), jnp.float32),
+    )
+    ds = SyntheticStereoDataset(n_frames=n_frames, width=W, height=H,
+                                scene=scene)
+    ds.poses = loop_trajectory(n_frames, radius=8.0, laps=1.45, ease_in=8)
+    cfg = make_config(W, H, preset=0, mode=1)
+    cfg = cfg.replace(loop=dataclasses.replace(
+        cfg.loop, loop_margin=12, lidar_range=40.0,
+        scan_context_thres=0.33, icp_thres=0.25))
+    K = ds.K
+    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
+                                   cfg.tracker.pyr_levels)
+    frames = []
+    for i in range(n_frames):
+        f = ds.frame(i)
+        frames.append((f["img0"], f["img1"], float(f["timestamp"])))
+    jax.block_until_ready(frames[-1][0])
+
+    run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)
+    run()                       # cold
+    dt, timers, handler = run()
+    loops = handler.direct_loop_count + handler.icp_loop_count
+    assert loops >= 1, "loop lap closed no loop — bench invalid"
+    return {
+        "loop_fps": round(n_frames / dt, 2),
+        "loop_count": int(loops),
+        "loop_stages_ms": _stage_table(timers),
     }
 
 

@@ -95,6 +95,14 @@ class SLAMNode:
 
         if self.viewer is not None:
             self.viewer.publish_cam_pose(shell.T_wc)
+            if shell.is_kf and self.frontend.template is not None:
+                # live KF depth pane (the reference viewer's pushDepthImage
+                # path); costs one bundled template pull per KF, viewer
+                # opt-in only
+                from ..viz.debug import render_template_idepth
+                fe = self.frontend
+                self.viewer.publish_depth_image(render_template_idepth(
+                    fe.template, fe.pyramids.get(fe.template_kf_slot)))
         rt = self.cfg.runtime
         if rt.debug_dump_dir and self.frontend.template is not None:
             from ..viz.debug import (

@@ -13,14 +13,16 @@ from typing import Optional
 
 import numpy as np
 
-from .export import depth_image_png
 
 
-def dump_template_idepth(out_dir: str, kf_id: int, template, pyr0,
-                         prefix: str = "kf"):
+def render_template_idepth(template, pyr0) -> np.ndarray:
     """Scatter the level-0 tracker template into a sparse idepth map and
-    write the jet overlay (the reference's KF depth-image pane)."""
+    return the jet overlay as [H, W, 3] uint8 (the reference's KF
+    depth-image pane, TrackerAndScaler.cpp:338-449). One bundled device
+    pull of the level-0 template arrays."""
     import jax
+
+    from .export import depth_image_rgb
 
     pu, pv, pid, mask = jax.device_get((
         template.pu[0], template.pv[0], template.pid[0], template.pmask[0]))
@@ -38,9 +40,15 @@ def dump_template_idepth(out_dir: str, kf_id: int, template, pyr0,
         np.roll(idepth, 1, 0), np.roll(idepth, 1, 1),
         np.roll(np.roll(idepth, 1, 0), 1, 1),
     ])
+    return depth_image_rgb(d, image=img)
+
+
+def dump_template_idepth(out_dir: str, kf_id: int, template, pyr0,
+                         prefix: str = "kf"):
+    """Write the jet overlay PNG (see render_template_idepth)."""
+    rgb = render_template_idepth(template, pyr0)
     os.makedirs(out_dir, exist_ok=True)
-    depth_image_png(os.path.join(out_dir, f"{prefix}_{kf_id:05d}_idepth.png"),
-                    d, image=img)
+    _write_rgb(os.path.join(out_dir, f"{prefix}_{kf_id:05d}_idepth.png"), rgb)
 
 def _write_rgb(path: str, rgb: np.ndarray):
     try:

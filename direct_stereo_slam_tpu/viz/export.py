@@ -73,8 +73,11 @@ def _jet(x: np.ndarray) -> np.ndarray:
     return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
 
 
-def depth_image_png(path: str, idepth_map: np.ndarray, image: Optional[np.ndarray] = None):
-    """Jet-colored idepth overlay (invalid = grayscale background)."""
+def depth_image_rgb(idepth_map: np.ndarray,
+                    image: Optional[np.ndarray] = None) -> np.ndarray:
+    """Jet-colored idepth overlay (invalid = grayscale background) as an
+    [H, W, 3] uint8 array — shared by the PNG dump and the live viewer's
+    KF depth pane."""
     valid = idepth_map > 0
     lo = np.percentile(idepth_map[valid], 5) if valid.any() else 0.0
     hi = np.percentile(idepth_map[valid], 95) if valid.any() else 1.0
@@ -85,6 +88,12 @@ def depth_image_png(path: str, idepth_map: np.ndarray, image: Optional[np.ndarra
         rgb = np.where(valid[..., None], rgb, bg)
     else:
         rgb = np.where(valid[..., None], rgb, 0)
+    return rgb
+
+
+def depth_image_png(path: str, idepth_map: np.ndarray, image: Optional[np.ndarray] = None):
+    """Jet-colored idepth overlay (invalid = grayscale background)."""
+    rgb = depth_image_rgb(idepth_map, image)
     try:
         import cv2
         cv2.imwrite(path, rgb[..., ::-1])

@@ -46,6 +46,7 @@ class LiveViewer:
         self._cam_trail = []                          # per-frame positions
         self._scan_cur = np.zeros((0, 3))
         self._scan_matched = np.zeros((0, 3))
+        self._depth_b64 = ""
         self._loops = []                              # (id_a, id_b)
         self._n_loops_direct = 0
         self._n_loops_icp = 0
@@ -108,6 +109,29 @@ class LiveViewer:
                                   else np.zeros((0, 3)))
         self._maybe_write()
 
+    def publish_depth_image(self, rgb: np.ndarray):
+        """pushDepthImage equivalent (the reference viewer's live KF
+        depth pane, PangolinLoopViewer KF depth image): store the latest
+        jet idepth overlay as an embedded PNG."""
+        import base64
+        png = None
+        try:
+            import cv2
+            ok, buf = cv2.imencode(".png", np.asarray(rgb)[..., ::-1])
+            if ok:
+                png = bytes(buf)
+        except ImportError:
+            import io
+            from PIL import Image
+            bio = io.BytesIO()
+            Image.fromarray(np.asarray(rgb)).save(bio, format="PNG")
+            png = bio.getvalue()
+        if png is None:
+            return
+        with self._lock:
+            self._depth_b64 = base64.b64encode(png).decode("ascii")
+        self._maybe_write()
+
     # ---- rendering -------------------------------------------------------
 
     def _maybe_write(self, force: bool = False):
@@ -143,6 +167,7 @@ class LiveViewer:
                 "loops": self._loops[-200:],
                 "n_direct": self._n_loops_direct,
                 "n_icp": self._n_loops_icp,
+                "depth_png": self._depth_b64,
             }
         return json.dumps(state, separators=(",", ":"))
 
@@ -156,35 +181,107 @@ class LiveViewer:
 
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8">
-<meta http-equiv="refresh" content="1">
 <title>dsslam live</title>
 <style>
  body{background:#14141e;color:#cfcfe0;font:13px monospace;margin:12px}
- canvas{background:#0b0b12;border:1px solid #333;margin-right:10px}
- .row{display:flex} .pane{margin-right:14px}
+ canvas,img{background:#0b0b12;border:1px solid #333;margin-right:10px}
+ .row{display:flex;flex-wrap:wrap} .pane{margin-right:14px;margin-bottom:10px}
  h3{margin:4px 0;color:#8fb3ff;font-size:13px}
+ #hint{color:#667;font-size:11px}
 </style></head><body>
 <div id="hdr"></div>
 <div class="row">
- <div class="pane"><h3>trajectory + cloud (top-down x/z)</h3>
+ <div class="pane"><h3>trajectory + cloud (3D — drag: orbit, wheel: zoom,
+   dblclick: reset)</h3>
    <canvas id="map" width="640" height="540"></canvas></div>
  <div class="pane"><h3>current scan (green) vs matched (red)</h3>
-   <canvas id="scan" width="420" height="540"></canvas></div>
+   <canvas id="scan" width="380" height="540"></canvas></div>
+ <div class="pane"><h3>latest KF inverse depth</h3>
+   <img id="depth" style="max-width:420px"></div>
 </div>
+<div id="hint">auto-refreshes every second (paused while dragging);
+view state persists across refreshes</div>
 <script>
 const S = __STATE__;
 document.getElementById('hdr').textContent =
   S.title + '  |  ' + S.time + '  |  frames: ' + S.trail.length +
   '  kfs: ' + S.kfs.length + '  loops: ' + S.n_direct + ' direct + ' +
   S.n_icp + ' icp';
+if (S.depth_png)
+  document.getElementById('depth').src = 'data:image/png;base64,' + S.depth_png;
+
+// ---- interactive 3D pane (orbit camera, persisted in localStorage) ----
+const KEY = 'dsslam_cam_' + S.title;
+const kfPos = {}; for (const k of S.kfs) kfPos[k[0]] = [k[1], k[2], k[3]];
+function bbox(pts){
+  if(!pts.length) return {c:[0,0,0], s:1};
+  let lo=[1e9,1e9,1e9], hi=[-1e9,-1e9,-1e9];
+  for(const p of pts) for(let i=0;i<3;i++){
+    if(p[i]<lo[i])lo[i]=p[i]; if(p[i]>hi[i])hi[i]=p[i];}
+  return {c:[(lo[0]+hi[0])/2,(lo[1]+hi[1])/2,(lo[2]+hi[2])/2],
+          s:Math.max(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2],1e-3)};
+}
+function defaultCam(){
+  const b = bbox([].concat(S.cloud, S.trail));
+  return {t:0.0, p:-1.25, d:b.s*1.6, cx:b.c[0], cy:b.c[1], cz:b.c[2]};
+}
+let cam; try{ cam = JSON.parse(localStorage.getItem(KEY)) || defaultCam(); }
+catch(e){ cam = defaultCam(); }
+function saveCam(){ try{ localStorage.setItem(KEY, JSON.stringify(cam)); }
+                    catch(e){} }
+const mapc = document.getElementById('map');
+function proj(p){
+  let x=p[0]-cam.cx, y=p[1]-cam.cy, z=p[2]-cam.cz;
+  const ct=Math.cos(cam.t), st=Math.sin(cam.t);
+  let x1=ct*x+st*z, z1=-st*x+ct*z;
+  const cp=Math.cos(cam.p), sp=Math.sin(cam.p);
+  let y1=cp*y-sp*z1, z2=sp*y+cp*z1 + cam.d;
+  if (z2 < 0.05*cam.d) return null;
+  const f = 1.0*mapc.height/z2;
+  return [mapc.width/2 + f*x1, mapc.height/2 + f*y1];
+}
+function draw3d(){
+  const g = mapc.getContext('2d');
+  g.clearRect(0,0,mapc.width,mapc.height);
+  g.fillStyle='#5f6f95';
+  for(const p of S.cloud){const q=proj(p); if(q) g.fillRect(q[0]-1,q[1]-1,2,2);}
+  g.strokeStyle='#ffd454'; g.beginPath(); let started=false;
+  for(const p of S.trail){const q=proj(p);
+    if(!q){started=false;continue;}
+    if(started) g.lineTo(q[0],q[1]); else {g.moveTo(q[0],q[1]); started=true;}}
+  g.stroke();
+  g.fillStyle='#ff6464';
+  for(const k of S.kfs){const q=proj([k[1],k[2],k[3]]);
+    if(q) g.fillRect(q[0]-2,q[1]-2,4,4);}
+  g.strokeStyle='#50d070';
+  for(const l of S.loops){
+    const a=kfPos[l[0]], b=kfPos[l[1]]; if(!a||!b) continue;
+    const qa=proj(a), qb=proj(b); if(!qa||!qb) continue;
+    g.beginPath(); g.moveTo(qa[0],qa[1]); g.lineTo(qb[0],qb[1]); g.stroke();}
+}
+let dragging=false, lx=0, ly=0;
+mapc.addEventListener('mousedown', e=>{dragging=true; lx=e.clientX; ly=e.clientY;});
+window.addEventListener('mouseup', ()=>{dragging=false; saveCam();});
+window.addEventListener('mousemove', e=>{
+  if(!dragging) return;
+  cam.t += (e.clientX-lx)*0.008; cam.p += (e.clientY-ly)*0.008;
+  cam.p = Math.max(-1.57, Math.min(1.57, cam.p));
+  lx=e.clientX; ly=e.clientY; saveCam(); draw3d();
+});
+mapc.addEventListener('wheel', e=>{
+  e.preventDefault();
+  cam.d *= (e.deltaY>0 ? 1.1 : 0.9); saveCam(); draw3d();
+}, {passive:false});
+mapc.addEventListener('dblclick', ()=>{cam=defaultCam(); saveCam(); draw3d();});
+draw3d();
+
+// ---- 2D scan pane (top-down x/z) --------------------------------------
 function fit(pts){
   if(!pts.length) return [0,0,1];
   let xs=pts.map(p=>p[0]), zs=pts.map(p=>p[2]);
   let x0=Math.min(...xs), x1=Math.max(...xs);
   let z0=Math.min(...zs), z1=Math.max(...zs);
-  let cx=(x0+x1)/2, cz=(z0+z1)/2;
-  let s=Math.max(x1-x0, z1-z0, 1e-3);
-  return [cx, cz, s*1.15];
+  return [(x0+x1)/2, (z0+z1)/2, Math.max(x1-x0, z1-z0, 1e-3)*1.15];
 }
 function draw(id, layers){
   const c=document.getElementById(id), g=c.getContext('2d');
@@ -194,26 +291,17 @@ function draw(id, layers){
   const px=p=>[(p[0]-cx)/s*c.width + c.width/2,
                (p[2]-cz)/s*c.height*(-1) + c.height/2];
   for(const l of layers){
-    g.fillStyle=l.color; g.strokeStyle=l.color;
-    if(l.line && l.pts.length>1){
-      g.beginPath();
-      let [x,y]=px(l.pts[0]); g.moveTo(x,y);
-      for(const p of l.pts.slice(1)){const [a,b]=px(p); g.lineTo(a,b);}
-      g.stroke();
-    } else {
-      for(const p of l.pts){const [x,y]=px(p);
-        g.fillRect(x-l.r, y-l.r, 2*l.r, 2*l.r);}
-    }
+    g.fillStyle=l.color;
+    for(const p of l.pts){const [x,y]=px(p);
+      g.fillRect(x-l.r, y-l.r, 2*l.r, 2*l.r);}
   }
 }
-draw('map', [
-  {pts:S.cloud, color:'#5f6f95', r:1},
-  {pts:S.trail, color:'#ffd454', line:true},
-  {pts:S.kfs.map(k=>[k[1],k[2],k[3]]), color:'#ff6464', r:2},
-]);
 draw('scan', [
   {pts:S.scan_matched, color:'#e05050', r:1.5},
   {pts:S.scan_cur, color:'#50d070', r:1.5},
 ]);
+
+// refresh without killing an in-progress drag
+setInterval(()=>{ if(!dragging) location.reload(); }, 1000);
 </script></body></html>
 """
