@@ -285,15 +285,31 @@ class SyntheticStereoDataset:
         return len(self.poses)
 
     def frame(self, i: int):
-        T_w_c0 = jnp.asarray(self.poses[i])
-        # cam1-to-world = cam0-to-world @ (cam1-to-cam0)
-        T_w_c1 = T_w_c0 @ jnp.asarray(np.linalg.inv(self.t_cam1_cam0))
-        img0, depth0 = render(self.scene, T_w_c0, jnp.asarray(self.K), self.width, self.height)
-        img1, _ = render(self.scene, T_w_c1, jnp.asarray(self.K), self.width, self.height)
+        # Render on the HOST (CPU backend), return numpy — like a real
+        # dataset reader decoding files. Besides honesty, this is
+        # load-bearing on a tunnel-attached TPU: the ray-cast builds
+        # ~300 MB of [H, W, boxes, 3] scratch, and once that executable
+        # has run on the remote session, EVERY subsequent program
+        # execution there degrades ~30x permanently (measured r3:
+        # trace_points_all 0.6 ms -> 195 ms after one render; deleting
+        # the rendered buffers does not recover it).
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            T_w_c0 = jax.device_put(np.asarray(self.poses[i]), cpu)
+            # cam1-to-world = cam0-to-world @ (cam1-to-cam0)
+            T_w_c1 = T_w_c0 @ jax.device_put(
+                np.linalg.inv(self.t_cam1_cam0), cpu)
+            K_cpu = jax.device_put(np.asarray(self.K), cpu)
+            scene_cpu = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), cpu), self.scene)
+            img0, depth0 = render(scene_cpu, T_w_c0, K_cpu,
+                                  self.width, self.height)
+            img1, _ = render(scene_cpu, T_w_c1, K_cpu,
+                             self.width, self.height)
         return {
-            "img0": img0,
-            "img1": img1,
-            "depth0": depth0,
+            "img0": np.asarray(img0),
+            "img1": np.asarray(img1),
+            "depth0": np.asarray(depth0),
             "timestamp": i / self.fps,
             "pose_w_c0": self.poses[i],
             "incoming_id": i,

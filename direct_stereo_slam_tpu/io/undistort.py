@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import bilinear_gather_scalar
+from ..ops.interp import bilinear_take_plane
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -42,7 +42,7 @@ def undistort_image(
     if inv_vignette is not None:
         img = img * inv_vignette
     if has_remap:
-        out = bilinear_gather_scalar(img, remap_x, remap_y)
+        out = bilinear_take_plane(img, remap_x, remap_y)
         out = jnp.where(remap_x < 0, 0.0, out)
         return out
     return img

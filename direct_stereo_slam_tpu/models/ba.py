@@ -255,11 +255,13 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     )
 
     # gather target intensities/gradients: vmap bilinear over frame slots.
-    # NB round-1 perf note: several alternative formulations (planes-first
-    # storage + scalar-row gathers, frame-folded flat indices) measured
-    # 5-10x FASTER in isolated microbenchmarks but consistently ~2x slower
-    # inside this program (XLA picks a ~8 ns/element gather path in
-    # context); see PARITY.md round-2 list.
+    # NB: several alternative formulations (planes-first storage +
+    # scalar-row gathers, frame-folded flat indices, and r3's rank-1
+    # [M, 128]-tiled takes) measured 5-100x FASTER in isolated
+    # microbenchmarks but SLOWER inside this program (the r3 A/B measured
+    # the tiled-take form at 384 ms/KF sync vs 181 ms for this one); XLA's
+    # in-context lowering choice dominates and only an in-program A/B is
+    # meaningful here.
     def gather_frame(img, u, v):
         return bilinear_gather(img, u, v)         # [NP, 8, 3]
 

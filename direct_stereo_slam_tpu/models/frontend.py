@@ -31,7 +31,7 @@ import numpy as np
 from ..config import SLAMConfig
 from ..geometry.camera import PyramidIntrinsics
 from ..ops.distance_map import build_distance_map
-from ..ops.interp import bilinear_gather
+from ..ops.interp import bilinear_gather, bilinear_take_plane
 from ..ops.pyramid import Pyramid, build_pyramid_jit as build_pyramid
 from ..ops.select import adapt_potential, make_selection_map
 from ..utils.timing import StageTimers
@@ -193,7 +193,7 @@ def _gather_level_colors(pyr_data, u, v):
     for lvl, planes in enumerate(pyr_data):
         ul = (u + 0.5) / (1 << lvl) - 0.5
         vl = (v + 0.5) / (1 << lvl) - 0.5
-        cols.append(bilinear_gather(planes, ul, vl)[..., 0])
+        cols.append(bilinear_take_plane(planes[..., 0], ul, vl))
     return jnp.stack(cols, -1)
 
 

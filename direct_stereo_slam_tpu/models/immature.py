@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PATTERN_OFFSETS, SLAMConfig
-from ..ops.interp import bilinear_gather
+from ..ops.interp import (bilinear_gather, bilinear_take_frames,
+                          bilinear_take_plane)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -188,7 +189,10 @@ def trace_points(
     rdv = KRKi[1, 0] * du + KRKi[1, 1] * dv
     spx = px[..., None] + rdu[None, None, :]                           # [NI, S, 8]
     spy = py[..., None] + rdv[None, None, :]
-    hit = bilinear_gather(target_planes, spx, spy)[..., 0]      # [NI, S, 8]
+    # flat-take form: the generic gather lowering is pathologically slow
+    # (~97 ms/frame) when converged points' sample positions cluster; see
+    # interp.bilinear_take_plane
+    hit = bilinear_take_plane(target_planes[..., 0], spx, spy)  # [NI, S, 8]
     res = hit - (aff_a * pts.color[:, None, :] + aff_b)
     energy = jnp.sum(res * res, axis=-1)                               # [NI, S]
     energy = jnp.where(s_ok, energy, jnp.inf)
@@ -214,17 +218,20 @@ def trace_points(
         bu, bv, be = carry
         spx = bu[:, None] + rdu[None, :]
         spy = bv[:, None] + rdv[None, :]
-        hit = bilinear_gather(target_planes, spx, spy)
-        r = hit[..., 0] - (aff_a * pts.color + aff_b)
-        gdotd = hit[..., 1] * dirx[:, None] + hit[..., 2] * diry[:, None]
+        hit_i = bilinear_take_plane(target_planes[..., 0], spx, spy)
+        hit_dx = bilinear_take_plane(target_planes[..., 1], spx, spy)
+        hit_dy = bilinear_take_plane(target_planes[..., 2], spx, spy)
+        r = hit_i - (aff_a * pts.color + aff_b)
+        gdotd = hit_dx * dirx[:, None] + hit_dy * diry[:, None]
         Hs = jnp.sum(gdotd * gdotd, axis=-1)
         bs = jnp.sum(r * gdotd, axis=-1)
         stp = jnp.clip(-bs / jnp.maximum(Hs, 1e-9), -0.5, 0.5) * tc.trace_step_size
         nu = bu + stp * dirx
         nv = bv + stp * diry
         ne = jnp.sum(
-            (bilinear_gather(target_planes, nu[:, None] + rdu[None, :],
-                             nv[:, None] + rdv[None, :])[..., 0]
+            (bilinear_take_plane(target_planes[..., 0],
+                                 nu[:, None] + rdu[None, :],
+                                 nv[:, None] + rdv[None, :])
              - (aff_a * pts.color + aff_b)) ** 2, axis=-1)
         better = ne < be
         return (
@@ -330,16 +337,17 @@ def activate_points(
         Kv = fy * vn + cy
         inb = (Ku > 2) & (Kv > 2) & (Ku < Wd - 3) & (Kv < H - 3) & (z > 1e-4)
 
-        hit = jax.vmap(lambda img, u, v: bilinear_gather(img, u, v))(images, Ku, Kv)
-        r = hit[..., 0] - (a_t[:, None, None] * pts.color[None] + b_t[:, None, None])
+        t_fold = jnp.arange(Wn, dtype=jnp.int32)[:, None, None]
+        hit_i, hit_dx, hit_dy = bilinear_take_frames(images, t_fold, Ku, Kv)
+        r = hit_i - (a_t[:, None, None] * pts.color[None] + b_t[:, None, None])
         hw = jnp.where(jnp.abs(r) < 9.0, 1.0, 9.0 / jnp.maximum(jnp.abs(r), 1e-9))
         wpat = pts.weight[None] ** 2
 
         # Jd (same geometry as BA): dr/d idepth
         dr_dpt = jnp.stack([
-            (1.0 / z) * hit[..., 1] * fx,
-            (1.0 / z) * hit[..., 2] * fy,
-            -(1.0 / z) * (un * hit[..., 1] * fx + vn * hit[..., 2] * fy),
+            (1.0 / z) * hit_dx * fx,
+            (1.0 / z) * hit_dy * fy,
+            -(1.0 / z) * (un * hit_dx * fx + vn * hit_dy * fy),
         ], -1)
         dpt_did = -(pt - tth[:, None, None, :]) / idepth[None, :, None, None]
         Jd = jnp.sum(dr_dpt * dpt_did, -1)

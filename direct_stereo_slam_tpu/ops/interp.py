@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # TPU gathers have two regimes (measured on v5e): few indices -> cost is
@@ -78,3 +79,110 @@ def bilinear_gather_planes(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> 
 def bilinear_gather_scalar(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """img: [H, W]; returns [...] interpolated scalar."""
     return bilinear_gather(img[..., None], u, v)[..., 0]
+
+
+def flat_take(arr1d: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Take from a rank-1 array with indices reshaped lane-aligned [M, 128].
+
+    This pins XLA to its fast vectorized-take lowering; see
+    bilinear_take_plane's docstring for the measured pathology it avoids."""
+    shp = idx.shape
+    n = int(np.prod(shp)) if shp else 1
+    pad = (-n) % 128
+    i2 = jnp.pad(idx.reshape(-1), (0, pad)).reshape((n + pad) // 128, 128)
+    return arr1d[i2].reshape(-1)[:n].reshape(shp)
+
+
+def bilinear_take_plane(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """img plane: [H, W]; u, v: [...] -> [...] interpolated scalar.
+
+    Flat-1D lane-aligned formulation: the four corner reads are expressed as
+    takes from a rank-1 operand with indices reshaped to [M, 128]. Measured on
+    the chip (r3): XLA's lowering for the generic N-d-index row gather above is
+    context-sensitive — the SAME 4.2M-index trace-search gather compiles to
+    anywhere between 0.03 ms and 97 ms depending on surrounding ops, vmap, and
+    even runtime index distribution (converged epipolar traces, whose sample
+    positions cluster, hit a ~400x pathological path). The rank-1 +
+    [M, 128]-index form has measured flat-fast (~0.2 ms at 4.2M indices) in
+    every context tried; use it for all large index sets."""
+    H, W = plane.shape
+    u = jnp.clip(u, 0.0, W - 1.001)
+    v = jnp.clip(v, 0.0, H - 1.001)
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    base = iy * W + ix
+    fx = u - ix
+    fy = v - iy
+    flat = plane.reshape(-1)
+    p00 = flat_take(flat, base)
+    p10 = flat_take(flat, base + 1)
+    p01 = flat_take(flat, base + W)
+    p11 = flat_take(flat, base + W + 1)
+    top = p00 * (1.0 - fx) + p10 * fx
+    bot = p01 * (1.0 - fx) + p11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def bilinear_take_channels(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """img: [H, W, C] channel-last; returns a C-tuple of [...] planes
+    interpolated at (u, v) — the lowering-robust replacement for
+    ``bilinear_gather`` at large index counts (bitwise-identical values).
+
+    Channel-last [H, W, C] storage is kept: the per-channel flat take uses
+    stride-C indices (base * C + c), which measured the same as contiguous
+    plane takes — the [M, 128] index tiling, not operand layout, is what
+    selects the fast path.
+
+    Caveat (measured r3): bitwise-equal EAGERLY, but inside a larger jit the
+    take form can FMA-fuse differently from the gather form, shifting last
+    ulps. Most call sites are insensitive; the mono initializer's two-frame
+    LM is NOT (swapping its gather flipped its e2e odometry test from 0.19 m
+    to 0.81 m ATE) and its index sets are tiny — it stays on
+    ``bilinear_gather``. Use take forms where index counts are large."""
+    H, W, C = img.shape
+    u = jnp.clip(u, 0.0, W - 1.001)
+    v = jnp.clip(v, 0.0, H - 1.001)
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    base = (iy * W + ix) * C
+    fx = u - ix
+    fy = v - iy
+    flat = img.reshape(-1)
+    out = []
+    for c in range(C):
+        p00 = flat_take(flat, base + c)
+        p10 = flat_take(flat, base + (C) + c)
+        p01 = flat_take(flat, base + (W * C) + c)
+        p11 = flat_take(flat, base + (W * C + C) + c)
+        top = p00 * (1.0 - fx) + p10 * fx
+        bot = p01 * (1.0 - fx) + p11 * fx
+        out.append(top * (1.0 - fy) + bot * fy)
+    return tuple(out)
+
+
+def bilinear_take_frames(images: jnp.ndarray, fidx: jnp.ndarray,
+                         u: jnp.ndarray, v: jnp.ndarray):
+    """images: [F, H, W, C]; fidx int32 broadcastable to u/v shape; returns a
+    C-tuple of planes sampled in frame ``fidx`` at (u, v). Folds the frame
+    index into one rank-1 take instead of vmapping a per-frame gather (which
+    hands XLA a batched gather it may lower pathologically)."""
+    F, H, W, C = images.shape
+    u = jnp.clip(u, 0.0, W - 1.001)
+    v = jnp.clip(v, 0.0, H - 1.001)
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    fidx = jnp.broadcast_to(fidx, ix.shape)
+    base = (((fidx * H) + iy) * W + ix) * C
+    fx = u - ix
+    fy = v - iy
+    flat = images.reshape(-1)
+    out = []
+    for c in range(C):
+        p00 = flat_take(flat, base + c)
+        p10 = flat_take(flat, base + (C) + c)
+        p01 = flat_take(flat, base + (W * C) + c)
+        p11 = flat_take(flat, base + (W * C + C) + c)
+        top = p00 * (1.0 - fx) + p10 * fx
+        bot = p01 * (1.0 - fx) + p11 * fx
+        out.append(top * (1.0 - fy) + bot * fy)
+    return tuple(out)

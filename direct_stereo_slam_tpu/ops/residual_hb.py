@@ -33,7 +33,7 @@ from functools import partial
 _HI = jax.lax.Precision.HIGHEST
 _mm = partial(jnp.matmul, precision=_HI)
 
-from .interp import bilinear_gather
+from .interp import bilinear_take_channels
 from ..config import SCALE_XI_TRANS, SCALE_XI_ROT, SCALE_A, SCALE_B
 
 
@@ -127,8 +127,7 @@ def pose_residual_pass(
         & (new_id > 0.0)
     )
 
-    hit = bilinear_gather(img, Ku, Kv)
-    hit_i, hit_dx, hit_dy = hit[:, 0], hit[:, 1], hit[:, 2]
+    hit_i, hit_dx, hit_dy = bilinear_take_channels(img, Ku, Kv)
     valid &= jnp.isfinite(hit_i)
 
     residual = hit_i - (aff_a * pcolor + aff_b)
@@ -224,8 +223,7 @@ def pose3d_residual_pass(
         & (Ku < W_img - 3.0) & (Kv < H_img - 3.0)
         & (new_id > 0.0)
     )
-    hit = bilinear_gather(img, Ku, Kv)
-    hit_i, hit_dx, hit_dy = hit[:, 0], hit[:, 1], hit[:, 2]
+    hit_i, hit_dx, hit_dy = bilinear_take_channels(img, Ku, Kv)
     valid &= jnp.isfinite(hit_i)
 
     residual = hit_i - (aff_a * pcolor + aff_b)
@@ -308,8 +306,7 @@ def scale_residual_pass(
         & (Ku < W_img - 3.0) & (Kv < H_img - 3.0)
         & (new_id > 0.0)
     )
-    hit = bilinear_gather(img1, Ku, Kv)
-    hit_i, hit_dx, hit_dy = hit[:, 0], hit[:, 1], hit[:, 2]
+    hit_i, hit_dx, hit_dy = bilinear_take_channels(img1, Ku, Kv)
     valid &= jnp.isfinite(hit_i)
 
     residual = hit_i - pcolor

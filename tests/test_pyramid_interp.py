@@ -73,3 +73,58 @@ def test_bilinear_planes_matches_channel_last():
     a = bilinear_gather(jnp.asarray(img), us, vs)
     b = bilinear_gather_planes(jnp.asarray(np.moveaxis(img, -1, 0)), us, vs)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_take_forms_bitwise_match_gather():
+    """bilinear_take_plane/channels/frames are lowering-level rewrites of
+    bilinear_gather (rank-1 operand + [M, 128]-tiled indices); the f32
+    arithmetic is identical term-for-term, so outputs must be BITWISE equal
+    — including at clamped out-of-bounds coordinates and odd (non-128-
+    multiple) index counts."""
+    from direct_stereo_slam_tpu.ops.interp import (
+        bilinear_take_channels, bilinear_take_frames, bilinear_take_plane)
+
+    rng = np.random.RandomState(4)
+    imgs = rng.rand(3, 24, 40, 3).astype(np.float32)
+    n = 777  # deliberately not a multiple of 128 (pad lanes exercised)
+    us = rng.uniform(-5, 45, n).astype(np.float32)   # includes OOB (clamped)
+    vs = rng.uniform(-5, 29, n).astype(np.float32)
+    uj, vj = jnp.asarray(us), jnp.asarray(vs)
+
+    ref = np.asarray(bilinear_gather(jnp.asarray(imgs[1]), uj, vj))
+
+    tp = np.asarray(bilinear_take_plane(jnp.asarray(imgs[1, ..., 0]), uj, vj))
+    np.testing.assert_array_equal(tp, ref[..., 0])
+
+    tc = bilinear_take_channels(jnp.asarray(imgs[1]), uj, vj)
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(tc[c]), ref[..., c])
+
+    fidx = jnp.asarray(rng.randint(0, 3, n), jnp.int32)
+    tf = bilinear_take_frames(jnp.asarray(imgs), fidx, uj, vj)
+    for c in range(3):
+        per_frame = np.stack(
+            [np.asarray(bilinear_gather(jnp.asarray(im), uj, vj))[..., c]
+             for im in imgs])
+        expect = per_frame[np.asarray(fidx), np.arange(n)]
+        np.testing.assert_array_equal(np.asarray(tf[c]), expect)
+
+
+def test_take_plane_multidim_and_scalar_shapes():
+    from direct_stereo_slam_tpu.ops.interp import bilinear_take_plane
+
+    rng = np.random.RandomState(5)
+    img = rng.rand(16, 16).astype(np.float32)
+    u = jnp.asarray(rng.uniform(0, 15, (4, 5, 6)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 15, (4, 5, 6)), jnp.float32)
+    out = bilinear_take_plane(jnp.asarray(img), u, v)
+    assert out.shape == (4, 5, 6)
+    ref = bilinear_gather(jnp.asarray(img)[..., None], u, v)[..., 0]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # 0-d coords
+    s = bilinear_take_plane(jnp.asarray(img), jnp.float32(3.25), jnp.float32(7.5))
+    assert s.shape == ()
+    np.testing.assert_allclose(
+        float(s),
+        float(bilinear_gather(jnp.asarray(img)[..., None],
+                              jnp.float32(3.25), jnp.float32(7.5))[0]))
