@@ -163,6 +163,68 @@ def _gate_compact_activate(imm, dist_map, KRKi1, Kt1, min_act_dist,
     return ok, acts.idepth, lane, drop
 
 
+@partial(jax.jit, static_argnums=(5,))
+def _allocate_candidates(ok, lane, drop, p_valid, participate, P):
+    """Device-side emulation of the activation insertion allocator
+    (bit-for-policy with the former host loop, which cost one blocking
+    ~27-56 ms pull per KF on a remote-attached chip): walk slots in
+    ascending order; each slot's accepted candidates (compacted lane
+    order) take the slot's OWN free pool segment rows first (ascending),
+    then overflow into any other free rows (ascending), capped by the
+    remaining pool capacity. Accepted-but-unplaced candidates are NOT
+    consumed (they stay immature for a later KF); dropped candidates are
+    consumed regardless.
+
+    ok/lane: [S, BUD] compacted gate results; drop: [S, NI];
+    p_valid: [B] pool occupancy; participate: [S] slots to process.
+    Returns (src_slot, src_sub, src_lane, dst, host, valid) each [B]
+    plus consumed [S, NI]."""
+    S, BUD = ok.shape
+    NI = drop.shape[1]
+    B = p_valid.shape[0]
+    i32 = jnp.int32
+    rows = jnp.arange(B, dtype=i32)
+
+    def body(s, carry):
+        (free, n_fill, src_slot, src_sub, src_lane, dst, host, valid,
+         consumed) = carry
+        part = participate[s]
+        accs = ok[s] & part                              # [BUD]
+        n_acc = jnp.sum(accs.astype(i32))
+        outside = (rows < s * P) | (rows >= (s + 1) * P)
+        key = rows + outside.astype(i32) * B + (~free).astype(i32) * (4 * B)
+        order = jnp.argsort(key).astype(i32)             # [B]
+        n_free = jnp.sum(free.astype(i32))
+        k = jnp.minimum(jnp.minimum(n_free, n_acc), B - n_fill)
+        rank = jnp.cumsum(accs.astype(i32)) - 1          # [BUD]
+        take = accs & (rank < k)
+        gpos = jnp.where(take, n_fill + rank, B)         # B = dropped lane
+        dstrow = order[jnp.clip(rank, 0, B - 1)]         # [BUD]
+        sub = jnp.arange(BUD, dtype=i32)
+        src_slot = src_slot.at[gpos].set(s, mode="drop")
+        src_sub = src_sub.at[gpos].set(sub, mode="drop")
+        src_lane = src_lane.at[gpos].set(lane[s], mode="drop")
+        dst = dst.at[gpos].set(dstrow, mode="drop")
+        host = host.at[gpos].set(s, mode="drop")
+        valid = valid.at[gpos].set(True, mode="drop")
+        free = free.at[jnp.where(take, dstrow, B)].set(False, mode="drop")
+        row = drop[s] & part
+        row = row.at[jnp.where(take, lane[s], NI)].set(True, mode="drop")
+        consumed = consumed.at[s].set(row)
+        return (free, n_fill + k, src_slot, src_sub, src_lane, dst, host,
+                valid, consumed)
+
+    init = (
+        ~p_valid, jnp.int32(0),
+        jnp.zeros(B, i32), jnp.zeros(B, i32), jnp.zeros(B, i32),
+        jnp.zeros(B, i32), jnp.zeros(B, i32), jnp.zeros(B, bool),
+        jnp.zeros((S, NI), bool),
+    )
+    out = jax.lax.fori_loop(0, S, body, init)
+    (_, _, src_slot, src_sub, src_lane, dst, host, valid, consumed) = out
+    return src_slot, src_sub, src_lane, dst, host, valid, consumed
+
+
 @jax.jit
 def _insert_candidates_all(state, imm, act_idepth, src_slot, src_sub_lane,
                            src_lane, dst_idx, valid, host):
@@ -612,6 +674,12 @@ class FrontEnd:
             # only run on tracking trouble.
             thr = self.cfg.tracker.re_track_threshold * self.last_coarse_rmse
 
+            # per-slot immature counts ride the SAME pull as the tracker
+            # outputs: the keyframe pipeline needs them (marginalization
+            # flagging, FrontEndMarginalize.cpp:100-107) and pulling them
+            # there costs one extra RTT per KF on a remote-attached chip
+            counts_dev = jnp.sum(self.immatures.valid, axis=1)
+
             def run(batch, selector=select_winner):
                 if len(batch) == 1:
                     # steady-state fast path: the single-candidate program
@@ -633,9 +701,15 @@ class FrontEnd:
                     )
                     lift = lambda x: x
                 # one transfer for everything the host needs from the batch
-                r_np = TrackResultNp(*jax.device_get((
+                pulled = jax.device_get((
                     lift(r.res_per_level), lift(r.flow), lift(r.T),
-                    lift(jnp.stack([r.aff.a, r.aff.b], -1)), lift(r.ok))))
+                    lift(jnp.stack([r.aff.a, r.aff.b], -1)), lift(r.ok),
+                    counts_dev))
+                r_np = TrackResultNp(*pulled[:5])
+                self._track_imm_counts = pulled[5]
+                # keyed on the immatures pytree identity: any later update
+                # (trace, activation consume, slot clear) invalidates it
+                self._track_imm_counts_key = self.immatures
                 i, g = selector(r_np, self.last_coarse_rmse, self.cfg)
                 return r_np, i, g
 
@@ -783,16 +857,26 @@ class FrontEnd:
         self.kf_shells.append(shell)
 
         # ---- BUNDLE 1: pre-insert views + immature counts ------------------
+        # counts normally arrive with the tracker pull of this same frame
+        # (run() above stashes them keyed on the immatures pytree identity);
+        # the explicit pull below only fires on trackless paths
+        # (initialization handoff) or a stale views cache.
         st = self.ba_state
-        counts_dev = jnp.sum(self.immatures.valid, axis=1)   # [S], 1 dispatch
+        counts = (self._track_imm_counts
+                  if getattr(self, "_track_imm_counts_key", None)
+                  is self.immatures else None)
         if getattr(self, "_views_cache_key", None) is not st:
             views_dev = ba.current_views(st)
-            pulled = jax.device_get((views_dev, counts_dev))
+            if counts is None:
+                counts_dev = jnp.sum(self.immatures.valid, axis=1)
+                pulled = jax.device_get((views_dev, counts_dev))
+                counts = pulled[1]
+            else:
+                pulled = (jax.device_get(views_dev),)
             self._views_cache = pulled[0]
             self._views_cache_key = st
-            counts = pulled[1]
-        else:
-            counts = jax.device_get(counts_dev)
+        elif counts is None:
+            counts = jax.device_get(jnp.sum(self.immatures.valid, axis=1))
         imm_counts = {s: int(counts[s]) for s in self.imm_slots}
 
         with self.timers.span("trace"):
@@ -1135,9 +1219,10 @@ class FrontEnd:
                          pre_views, flagged_slots=()):
         """FrontEnd.cpp:341-500: density-adaptive distance-map gating +
         batched 1-D idepth optimization + insertion into the point pool.
-        The distance map AND the per-candidate gates run on device; the
-        host pulls ONE bundle of per-slot (ok, drop) masks (bundle 2) and
-        does only the insertion bookkeeping from the bundle-1 snapshot."""
+        Fully pull-free: distance map, per-candidate gates, idepth LM AND
+        the pool-row allocation (_allocate_candidates) all run on device;
+        the host contributes only the relative-warp matrices from the
+        bundle-1 snapshot and the density-feedback threshold."""
         cfg = self.cfg
         want = cfg.ba.desired_point_density
         have = int(np.asarray(pre_views[5]).sum())
@@ -1205,65 +1290,23 @@ class FrontEnd:
             T_cw_j, aff_j, calib_j, st.exposure,
             cfg, w2, h2, cfg.ba.act_budget)
 
-        ok_all, lane_all, drop_all = jax.device_get(
-            (ok_d, lane_d, drop_d))   # bundle 2
-
-        # insert accepted into free pool rows: the host's own segment
-        # first (locality), then OVERFLOW into any other free rows — the
-        # pool is one shared budget (the BA assembly groups by p_host via
-        # one-hot, not by segment), so a well-textured KF is not capped at
-        # P while other segments sit empty. All slots' accepted candidates
-        # ride ONE fixed-size (pool-length, padded) scatter.
+        # allocate accepted candidates into free pool rows ON DEVICE
+        # (_allocate_candidates emulates the former host loop exactly:
+        # own segment first, ascending, then overflow into any free rows,
+        # capped by remaining pool capacity — the pool is one shared
+        # budget, the BA assembly groups by p_host via one-hot). This
+        # keeps the whole activation stage pull-free: the former bundle-2
+        # mask pull cost one blocking ~27-56 ms RTT per KF.
         P = self.cfg.ba.max_points_per_frame
-        pvalid_a = np.asarray(pre_views[5])
-        free_rows = ~pvalid_a.copy()      # decremented across slots
-        B = self.pool
-        src_slot = np.zeros(B, np.int32)
-        src_sub_lane = np.zeros(B, np.int32)
-        src_lane = np.zeros(B, np.int32)
-        dst_idx = np.zeros(B, np.int32)
-        host = np.zeros(B, np.int32)
-        n_fill = 0
-        consumed = np.zeros_like(drop_all)
-        for slot in slots_todo:
-            ok = ok_all[slot]           # [act_budget], compacted lanes
-            drop = drop_all[slot]       # [NI], original lanes
-            consumed[slot] = drop
-            if not ok.any():
-                continue
-            own = np.nonzero(free_rows[slot * P:(slot + 1) * P])[0] + slot * P
-            other = np.nonzero(free_rows)[0]
-            other = other[(other < slot * P) | (other >= (slot + 1) * P)]
-            seg_free = np.concatenate([own, other])
-            k = min(len(seg_free), int(ok.sum()), B - n_fill)
-            if k <= 0:
-                continue
-            free_rows[seg_free[:k]] = False
-            sl = slice(n_fill, n_fill + k)
-            src_slot[sl] = slot
-            taken_sub = np.nonzero(ok)[0][:k]      # compacted indices
-            taken = lane_all[slot][taken_sub]      # original lane indices
-            src_sub_lane[sl] = taken_sub
-            src_lane[sl] = taken
-            dst_idx[sl] = seg_free[:k]
-            host[sl] = slot
-            n_fill += k
-            # only ACTUALLY-inserted candidates are consumed: accepted
-            # lanes beyond the pool budget stay immature (their trace
-            # state keeps refining for a later keyframe) instead of being
-            # destroyed
-            consumed[slot, taken] = True
-        if n_fill > 0:
-            self.ba_state = _insert_candidates_all(
-                self.ba_state, self.immatures, idepth_d,
-                jnp.asarray(src_slot), jnp.asarray(src_sub_lane),
-                jnp.asarray(src_lane),
-                jnp.asarray(dst_idx), jnp.asarray(np.arange(B) < n_fill),
-                jnp.asarray(host),
-            )
-        if consumed.any():
-            self.immatures = _consume_candidates(
-                self.immatures, jnp.asarray(consumed))
+        participate = np.zeros(S, bool)
+        participate[slots_todo] = True
+        (src_slot, src_sub_lane, src_lane, dst_idx, host, valid,
+         consumed) = _allocate_candidates(
+            ok_d, lane_d, drop_d, st.p_valid, jnp.asarray(participate), P)
+        self.ba_state = _insert_candidates_all(
+            self.ba_state, self.immatures, idepth_d,
+            src_slot, src_sub_lane, src_lane, dst_idx, valid, host)
+        self.immatures = _consume_candidates(self.immatures, consumed)
 
     # ------------------------------------------------------------------
 

@@ -165,3 +165,68 @@ class TestTraceActivation:
         id_gt = 1.0 / depth_gt[gv, gu]
         rel = np.abs(np.asarray(out.idepth)[ok] - id_gt) / id_gt
         assert np.median(rel) < 0.08, np.median(rel)
+
+
+def test_device_allocator_matches_host_reference():
+    """_allocate_candidates (device) must reproduce the former host greedy
+    allocator bit-for-bit: slots ascending; own free segment rows first
+    (ascending), then overflow rows (ascending), capped by pool capacity;
+    accepted-but-unplaced candidates not consumed; drops always consumed."""
+    from direct_stereo_slam_tpu.models.frontend import _allocate_candidates
+
+    rng = np.random.RandomState(0)
+    S, BUD, NI, P = 6, 16, 40, 20
+    B = S * P
+    for trial in range(8):
+        ok = rng.rand(S, BUD) < rng.uniform(0.05, 0.9)
+        # realistic lane maps: prefix of a per-slot permutation
+        lane = np.stack([rng.permutation(NI)[:BUD] for _ in range(S)])
+        drop = rng.rand(S, NI) < 0.2
+        p_valid = rng.rand(B) < rng.uniform(0.3, 0.98)
+        participate = rng.rand(S) < 0.8
+
+        # ---- host reference (the pre-r3 loop) --------------------------
+        free = ~p_valid.copy()
+        n_fill = 0
+        h_src_slot = np.zeros(B, np.int32); h_sub = np.zeros(B, np.int32)
+        h_lane = np.zeros(B, np.int32); h_dst = np.zeros(B, np.int32)
+        h_host = np.zeros(B, np.int32); h_valid = np.zeros(B, bool)
+        h_cons = np.zeros((S, NI), bool)
+        for s in range(S):
+            if not participate[s]:
+                continue
+            oks = ok[s]
+            h_cons[s] = drop[s]
+            if not oks.any():
+                continue
+            own = np.nonzero(free[s * P:(s + 1) * P])[0] + s * P
+            other = np.nonzero(free)[0]
+            other = other[(other < s * P) | (other >= (s + 1) * P)]
+            seg_free = np.concatenate([own, other])
+            k = min(len(seg_free), int(oks.sum()), B - n_fill)
+            if k <= 0:
+                continue
+            free[seg_free[:k]] = False
+            sl = slice(n_fill, n_fill + k)
+            taken_sub = np.nonzero(oks)[0][:k]
+            taken = lane[s][taken_sub]
+            h_src_slot[sl] = s; h_sub[sl] = taken_sub; h_lane[sl] = taken
+            h_dst[sl] = seg_free[:k]; h_host[sl] = s
+            h_valid[sl] = True
+            n_fill += k
+            h_cons[s, taken] = True
+
+        d = _allocate_candidates(
+            jnp.asarray(ok), jnp.asarray(lane.astype(np.int32)),
+            jnp.asarray(drop), jnp.asarray(p_valid),
+            jnp.asarray(participate), P)
+        d_src_slot, d_sub, d_lane, d_dst, d_host, d_valid, d_cons = map(
+            np.asarray, d)
+        np.testing.assert_array_equal(d_valid, h_valid, err_msg=f"t{trial}")
+        m = h_valid
+        np.testing.assert_array_equal(d_src_slot[m], h_src_slot[m])
+        np.testing.assert_array_equal(d_sub[m], h_sub[m])
+        np.testing.assert_array_equal(d_lane[m], h_lane[m])
+        np.testing.assert_array_equal(d_dst[m], h_dst[m])
+        np.testing.assert_array_equal(d_host[m], h_host[m])
+        np.testing.assert_array_equal(d_cons, h_cons, err_msg=f"t{trial}")
