@@ -372,6 +372,8 @@ class FrontEnd:
 
         self.marginalized_queue: List[MarginalizedKF] = []
         self.timers = timers if timers is not None else StageTimers()
+        # deferred keyframe-tail commit (see _finalize_keyframe)
+        self._pending_finalize = None
 
         # monocular bootstrap state (cfg.runtime.mono_initializer)
         self.mono_state = None
@@ -700,6 +702,10 @@ class FrontEnd:
                         jnp.float32(self._cur_exposure),
                     )
                     lift = lambda x: x
+                # the previous KF's deferred tail commits HERE: its bundle
+                # pull rides the same wait as the just-dispatched track
+                # program (the commit's own device ops queue behind it)
+                self.flush_pending()
                 # one transfer for everything the host needs from the batch
                 pulled = jax.device_get((
                     lift(r.res_per_level), lift(r.flow), lift(r.T),
@@ -803,6 +809,7 @@ class FrontEnd:
     # ------------------------------------------------------------------
 
     def _make_non_keyframe(self, shell: FrameShell, pyr0: Pyramid):
+        self.flush_pending()        # no-op unless the track pull was skipped
         with self.timers.span("trace"):
             self._trace_all(shell.T_wc, pyr0.data[0], shell.aff,
                             shell.exposure)
@@ -853,6 +860,7 @@ class FrontEnd:
         flags + marginalized-frame export stats. The naive per-stage form
         cost ~15 pulls/KF (~430 ms measured on the tunneled chip)."""
         cfg = self.cfg
+        self.flush_pending()        # no-op unless the track pull was skipped
         shell.is_kf = True
         self.kf_shells.append(shell)
 
@@ -997,6 +1005,17 @@ class FrontEnd:
 
     # ------------------------------------------------------------------
 
+    def flush_pending(self):
+        """Commit a deferred keyframe tail (see _finalize_keyframe). No-op
+        when nothing is pending. Must run before any host read of the
+        tail's outputs — callers: the tracker pull (where the deferred
+        RTT hides behind the queued track program), the keyframe/
+        non-keyframe paths, trajectory export, and checkpointing."""
+        pending = self._pending_finalize
+        if pending is not None:
+            self._pending_finalize = None
+            self._finalize_keyframe_commit(*pending)
+
     def _finalize_keyframe(self, flagged: List[int], new_slot: int,
                            pyr0: Pyramid):
         """Fused pipeline tail — flagPointsForRemoval + makeNewTraces +
@@ -1007,7 +1026,15 @@ class FrontEnd:
         per-flagged-slot level-color gathers riding the same pull. The
         views cache is patched host-side afterwards (the tail ops change
         only validity masks, never poses), keeping the per-frame tracking
-        path pull-free."""
+        path pull-free.
+
+        DEFERRED: the dispatch half runs here (device work queues, the
+        bundle starts its device->host copy asynchronously, and the
+        immature-slot updates — which the next frame's trace and counts
+        need — dispatch eagerly); the pull + host bookkeeping half
+        (_finalize_keyframe_commit) runs at the NEXT frame's tracker pull
+        via flush_pending, so the bundle's RTT hides behind the queued
+        track program instead of extending the keyframe's critical path."""
         cfg = self.cfg
         st = self.ba_state
 
@@ -1022,13 +1049,46 @@ class FrontEnd:
         }
         views_dev = ba.current_views(st)
 
-        pulled = jax.device_get((
+        # new immature traces (FrontEnd.cpp:824, 936-962): the device ops
+        # dispatch NOW (the next frame's trace transforms and candidate
+        # counts consume the updated pytree); only the density feedback
+        # (adapt_potential) waits for the pulled count in the commit half
+        with self.timers.span("feature_detect"):
+            self.immatures = immature.set_slot(
+                self.immatures, jnp.int32(new_slot),
+                immature.create_points(
+                    pyr0.data[0], sel_map, self.imm_budget,
+                    cfg.ba.outlier_th_sum_component))
+            self.imm_slots.add(new_slot)
+            if flagged:
+                clear = np.zeros(self.n_slots, bool)
+                clear[flagged] = True
+                self.immatures = immature.clear_slots(
+                    self.immatures, jnp.asarray(clear))
+                for mslot in flagged:
+                    self.imm_slots.discard(mslot)
+
+        bundle = (
             views_dev,
             (st.p_u, st.p_v, st.p_idepth, n_good_dev, lin.Hdd,
              lin.pair_good, lin.pair_energy, st.p_color),
             sel_count,
             color_gathers,
-        ))
+        )
+        # start the device->host copy without blocking
+        jax.tree_util.tree_map(
+            lambda a: a.copy_to_host_async()
+            if hasattr(a, "copy_to_host_async") else None, bundle)
+        self._pending_finalize = (bundle, lin, st, flagged, new_slot)
+
+    def _finalize_keyframe_commit(self, bundle, lin, st, flagged: List[int],
+                                  new_slot: int):
+        """Pull + host-bookkeeping half of the keyframe tail; see
+        _finalize_keyframe."""
+        cfg = self.cfg
+        assert st is self.ba_state, "BA state mutated while finalize pending"
+
+        pulled = jax.device_get(bundle)
         views = pulled[0]
         pu_a, pv_a, pid_a, n_good, Hdd, pair_good, pair_e, p_color = pulled[1]
         got = int(pulled[2])
@@ -1063,16 +1123,9 @@ class FrontEnd:
             # window — weak-Hessian geometry still densifies the scans
             self._last_marg_mask = leaving if cfg.loop.densify_scans else marg
 
-        # ---- new immature traces (FrontEnd.cpp:824, 936-962) ---------------
-        with self.timers.span("feature_detect"):
-            self.pot = adapt_potential(self.pot, got,
-                                       cfg.ba.desired_immature_density)
-            self.immatures = immature.set_slot(
-                self.immatures, jnp.int32(new_slot),
-                immature.create_points(
-                    pyr0.data[0], sel_map, self.imm_budget,
-                    cfg.ba.outlier_th_sum_component))
-            self.imm_slots.add(new_slot)
+        # ---- density feedback for the next KF's selection ------------------
+        self.pot = adapt_potential(self.pot, got,
+                                   cfg.ba.desired_immature_density)
 
         # ---- marginalize flagged frames (FrontEndMarginalize.cpp:148-215) --
         with self.timers.span("frame_marg"):
@@ -1129,16 +1182,10 @@ class FrontEnd:
                 ))
                 self.ba_state = ba.marginalize_frame(
                     self.ba_state, jnp.int32(mslot))
-                self.imm_slots.discard(mslot)
                 self.pyramids.pop(mslot, None)
                 self.slot_stats.pop(mslot, None)
                 self.scale_errors.pop(mslot, None)
                 self.slot_exposure.pop(mslot, None)
-            if flagged:
-                clear = np.zeros(self.n_slots, bool)
-                clear[flagged] = True
-                self.immatures = immature.clear_slots(
-                    self.immatures, jnp.asarray(clear))
 
         # ---- patch the views cache (validity only; poses untouched) --------
         fv = views[3].copy()

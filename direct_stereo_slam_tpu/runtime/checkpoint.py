@@ -53,6 +53,7 @@ def _load_namedtuple(prefix: str, cls, arrays) -> Any:
 
 
 def save_frontend(path: str, fe: FrontEnd):
+    fe.flush_pending()   # commit any deferred keyframe tail first
     arrays: Dict[str, np.ndarray] = {}
     _save_namedtuple("ba", fe.ba_state, arrays)
     if fe.template is not None:

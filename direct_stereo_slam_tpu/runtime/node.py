@@ -68,6 +68,9 @@ class SLAMNode:
 
         # reinitialize preserving pose + KF offset (main.cpp:229-245)
         if self.frontend.init_failed or self.frontend.is_lost:
+            # commit any deferred keyframe tail first: its marginalized-KF
+            # exports must survive into the carried-over queue
+            self.frontend.flush_pending()
             last_pose = self.frontend.cur_pose
             prev_kf = self.frontend.num_kfs  # already global (offset baked in)
             queue = self.frontend.marginalized_queue
@@ -146,6 +149,7 @@ class SLAMNode:
         """Flush remaining window KFs as trajectory records and return the
         odometry trajectory rows (incoming_id x y z), the reference's
         sodso.txt content (LoopHandler.cpp:60-80)."""
+        self.frontend.flush_pending()
         if self.loop_handler is not None:
             while self.frontend.marginalized_queue:
                 self.loop_handler.publish_keyframe(
