@@ -165,7 +165,10 @@ def main():
         batch_fps[B] = round(B * n_iter / (time.perf_counter() - t0), 2)
 
     e2e = bench_e2e(jax)
-    loop = bench_loop(jax)
+    try:
+        loop = bench_loop(jax)
+    except Exception as e:          # never lose the whole bench line
+        loop = {"loop_error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps({
         "metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
