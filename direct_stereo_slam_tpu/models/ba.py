@@ -43,6 +43,7 @@ Deviations from DSO (documented):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -261,13 +262,22 @@ def linearize(state: BAState, cfg: SLAMConfig) -> Linearization:
     # microbenchmarks but SLOWER inside this program (the r3 A/B measured
     # the tiled-take form at 384 ms/KF sync vs 181 ms for this one); XLA's
     # in-context lowering choice dominates and only an in-program A/B is
-    # meaningful here.
-    def gather_frame(img, u, v):
-        return bilinear_gather(img, u, v)         # [NP, 8, 3]
+    # meaningful here. That A/B predates the discovery that a device-side
+    # renderer run degrades the whole session ~30x — re-run it clean via
+    # DSSLAM_BA_TAKE_GATHER=1 (A/B only: the take form's different FMA
+    # fusion shifts last ulps, so it must not silently become default).
+    if os.environ.get("DSSLAM_BA_TAKE_GATHER") == "1":
+        from ..ops.interp import bilinear_take_frames
+        t_fold = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+        hit_i, gx, gy = bilinear_take_frames(state.images, t_fold, Ku, Kv)
+    else:
+        def gather_frame(img, u, v):
+            return bilinear_gather(img, u, v)     # [NP, 8, 3]
 
-    hit = jax.vmap(gather_frame)(state.images, Ku.transpose(1, 0, 2), Kv.transpose(1, 0, 2))
-    hit = hit.transpose(1, 0, 2, 3)               # [NP, W, 8, 3]
-    hit_i, gx, gy = hit[..., 0], hit[..., 1], hit[..., 2]
+        hit = jax.vmap(gather_frame)(
+            state.images, Ku.transpose(1, 0, 2), Kv.transpose(1, 0, 2))
+        hit = hit.transpose(1, 0, 2, 3)           # [NP, W, 8, 3]
+        hit_i, gx, gy = hit[..., 0], hit[..., 1], hit[..., 2]
 
     # affine transfer host->target per (p, t)
     a_h = aff[h_idx, 0][:, None]
