@@ -112,6 +112,9 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
     with open(path + ".json") as f:
         meta = json.load(f)
 
+    # a deferred keyframe tail on the target would otherwise commit
+    # against the replaced state below (flush_pending asserts identity)
+    fe.flush_pending()
     fe.ba_state = _load_namedtuple("ba", ba.BAState, arrays)
     if meta["has_template"]:
         fe.template = _load_namedtuple("template", TrackerTemplate, arrays)
