@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--seq", default="00")
     ap.add_argument("--dir0")
     ap.add_argument("--dir1")
+    ap.add_argument("--bag", help="rosbag v2.0 file (the reference's bag "
+                    "replay path, main.cpp:320-345)")
+    ap.add_argument("--topic0", default="/cam0/image_raw")
+    ap.add_argument("--topic1", default="/cam1/image_raw")
     ap.add_argument("--calib0", help="DSO camera.txt for cam0")
     ap.add_argument("--calib1", help="DSO camera.txt for cam1")
     ap.add_argument("--t-stereo", help="T_stereo.yaml")
@@ -91,17 +95,27 @@ def main():
         K = np.array([[c["fx"], 0, c["cx"]], [0, c["fy"], c["cy"]], [0, 0, 1]])
         t10 = ds.t_cam1_cam0()
     else:
-        from direct_stereo_slam_tpu.io.dataset import StereoDirDataset
         from direct_stereo_slam_tpu.io.undistort import Undistorter
         from direct_stereo_slam_tpu.utils.calib import (
             build_rectified_camera, parse_gamma, parse_t_stereo, parse_vignette)
-        ds = StereoDirDataset(args.dir0, args.dir1)
+        if args.bag:
+            from direct_stereo_slam_tpu.io.rosbag import replay_stereo_bag
+
+            pairs = []
+            replay_stereo_bag(args.bag, args.topic0, args.topic1,
+                              lambda a, b: pairs.append(
+                                  {"img0": a.data, "img1": b.data,
+                                   "timestamp": a.stamp}))
+            ds = pairs
+        else:
+            from direct_stereo_slam_tpu.io.dataset import StereoDirDataset
+            ds = StereoDirDataset(args.dir0, args.dir1)
         cam0 = build_rectified_camera(args.calib0)
         cam1 = build_rectified_camera(args.calib1 or args.calib0)
         g0 = parse_gamma(args.gamma0) if args.gamma0 else None
         g1 = parse_gamma(args.gamma1) if args.gamma1 else (g0 if args.gamma0 else None)
         # vignette applies in the RAW image frame (pre-remap)
-        f0 = ds.frame(0)
+        f0 = ds[0] if args.bag else ds.frame(0)
         in_h, in_w = f0["img0"].shape
         v0 = parse_vignette(args.vignette0, in_w, in_h) if args.vignette0 else None
         v1 = parse_vignette(args.vignette1, in_w, in_h) if args.vignette1 else v0
@@ -111,7 +125,9 @@ def main():
         w, h = cam0.w, cam0.h
         t10 = parse_t_stereo(args.t_stereo) if args.t_stereo else np.eye(4)
 
-    levels = min(args.levels, num_usable_levels(w, h))
+    # floor at 3: the pixel selector scores on three pyramid scales
+    # (DSO PixelSelector likewise requires pyrLevelsUsed >= 3)
+    levels = min(args.levels, max(3, num_usable_levels(w, h)))
     cfg = make_config(w, h, preset=args.preset, mode=args.mode,
                       scale_opt_thres=args.scale_opt_thres,
                       lidar_range=args.lidar_range,
