@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--dir1")
     ap.add_argument("--bag", help="rosbag v2.0 file (the reference's bag "
                     "replay path, main.cpp:320-345)")
+    ap.add_argument("--ros-master", help="live mode: ROS1 master URI to "
+                    "subscribe to --topic0/--topic1 over TCPROS (the "
+                    "reference's message_filters path, main.cpp:347-362)")
+    ap.add_argument("--ros-idle", type=float, default=5.0,
+                    help="live mode: stop after this many seconds "
+                    "without a synced pair")
     ap.add_argument("--topic0", default="/cam0/image_raw")
     ap.add_argument("--topic1", default="/cam1/image_raw")
     ap.add_argument("--calib0", help="DSO camera.txt for cam0")
@@ -107,6 +113,8 @@ def main():
                                   {"img0": a.data, "img1": b.data,
                                    "timestamp": a.stamp}))
             ds = pairs
+        elif args.ros_master:
+            ds = []          # frames arrive live (see the loop below)
         else:
             from direct_stereo_slam_tpu.io.dataset import StereoDirDataset
             ds = StereoDirDataset(args.dir0, args.dir1)
@@ -114,9 +122,16 @@ def main():
         cam1 = build_rectified_camera(args.calib1 or args.calib0)
         g0 = parse_gamma(args.gamma0) if args.gamma0 else None
         g1 = parse_gamma(args.gamma1) if args.gamma1 else (g0 if args.gamma0 else None)
-        # vignette applies in the RAW image frame (pre-remap)
-        f0 = ds[0] if args.bag else ds.frame(0)
-        in_h, in_w = f0["img0"].shape
+        # vignette applies in the RAW image frame (pre-remap); in live
+        # mode the raw size comes from the calibration file instead of a
+        # first frame
+        if args.ros_master and not args.bag:
+            from direct_stereo_slam_tpu.utils.calib import parse_camera_file
+            m0, _, _ = parse_camera_file(args.calib0)
+            in_w, in_h = m0.in_w, m0.in_h
+        else:
+            f0 = ds[0] if args.bag else ds.frame(0)
+            in_h, in_w = f0["img0"].shape
         v0 = parse_vignette(args.vignette0, in_w, in_h) if args.vignette0 else None
         v1 = parse_vignette(args.vignette1, in_w, in_h) if args.vignette1 else v0
         undist0 = Undistorter(cam0, binv=g0, vignette=v0)
@@ -150,15 +165,52 @@ def main():
                     undistorter0=undist0, undistorter1=undist1)
 
     import jax.numpy as jnp
-    n = len(ds)
-    for i, f in enumerate(ds):
-        node.process(jnp.asarray(f["img0"]), jnp.asarray(f["img1"]),
-                     f["timestamp"], exposure=f.get("exposure", 1.0))
-        if i % 10 == 0:
-            print(f"[{i}/{n}] kfs={node.frontend.num_kfs} "
-                  f"loops={handler.direct_loop_count}+{handler.icp_loop_count}",
-                  flush=True)
-    node.finish()
+    if args.ros_master:
+        # live mode (reference main.cpp:347-362): subscribe to the two
+        # image topics over TCPROS, ApproximateTime-sync, run until
+        # --ros-idle seconds pass without a pair (or Ctrl-C)
+        import threading
+
+        from direct_stereo_slam_tpu.io.ros_transport import StereoTopicSource
+
+        last = [None]
+        count = [0]
+        lock = threading.Lock()
+
+        def cb(a, b):
+            with lock:
+                node.process(jnp.asarray(a.data), jnp.asarray(b.data),
+                             a.stamp)
+                count[0] += 1
+                last[0] = __import__("time").time()
+                if count[0] % 10 == 0:
+                    print(f"[{count[0]}] kfs={node.frontend.num_kfs} "
+                          f"loops={handler.direct_loop_count}"
+                          f"+{handler.icp_loop_count}", flush=True)
+
+        src = StereoTopicSource(args.ros_master, args.topic0, args.topic1, cb)
+        import time as _time
+        try:
+            while True:
+                _time.sleep(0.2)
+                if last[0] is not None and \
+                        _time.time() - last[0] > args.ros_idle:
+                    break
+        except KeyboardInterrupt:
+            pass
+        src.close()
+        with lock:
+            node.finish()
+    else:
+        n = len(ds)
+        for i, f in enumerate(ds):
+            node.process(jnp.asarray(f["img0"]), jnp.asarray(f["img1"]),
+                         f["timestamp"], exposure=f.get("exposure", 1.0))
+            if i % 10 == 0:
+                print(f"[{i}/{n}] kfs={node.frontend.num_kfs} "
+                      f"loops={handler.direct_loop_count}+{handler.icp_loop_count}",
+                      flush=True)
+        node.finish()
 
     write_trajectory(os.path.join(args.out, "sodso.txt"), handler.odometry_rows())
     write_trajectory(os.path.join(args.out, "dslam.txt"), handler.optimized_rows())
