@@ -165,7 +165,7 @@ def main():
                     undistorter0=undist0, undistorter1=undist1)
 
     import jax.numpy as jnp
-    if args.ros_master:
+    if args.ros_master and not args.bag:      # --bag takes precedence
         # live mode (reference main.cpp:347-362): subscribe to the two
         # image topics over TCPROS, ApproximateTime-sync, run until
         # --ros-idle seconds pass without a pair (or Ctrl-C)
