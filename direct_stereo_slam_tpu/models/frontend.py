@@ -1396,9 +1396,11 @@ class FrontEnd:
         newest KF's translation to its tracking reference."""
         s = float(new_scale)
         self.template = scale_template_idepth(self.template, jnp.float32(s))
+        views = self._views_np()    # cached (bundle 3); pre-rescale poses
         st = self.ba_state
         new_idepth = jnp.where(st.p_valid, st.p_idepth / s, st.p_idepth)
         st = st._replace(p_idepth=new_idepth, p_idepth_zero=new_idepth)
+        T_patched = views[0]
         # rescale newest KF translation relative to its tracking ref KF
         shell = self.kf_shells[-1]
         ref_kf = shell.tracking_ref_kf - self.prev_kf_count
@@ -1413,7 +1415,16 @@ class FrontEnd:
                 delta=st.delta.at[newest_slot, :6].set(0.0),
             )
             self.cur_pose = shell.T_wc
+            T_patched = views[0].copy()
+            T_patched[newest_slot] = T_cw
         self.ba_state = st
+        # patch the views cache host-side: the rescale changes only the
+        # newest slot's pose among the views fields (idepths are not in
+        # them) — without this, the NEXT frame's _kf_pose pays a full
+        # views pull (one RTT on a remote-attached chip) on every
+        # scale-accepted keyframe
+        self._views_cache = (T_patched,) + tuple(views[1:])
+        self._views_cache_key = self.ba_state
 
     def _make_new_traces(self, slot: int, pyr0: Pyramid):
         """makeNewTraces (FrontEnd.cpp:936-962) with density feedback.
