@@ -340,7 +340,11 @@ class StereoTopicSource:
                 a, b = self._out.get(timeout=0.2)
             except queue.Empty:
                 continue
-            self._cb(a, b)
+            try:
+                self._cb(a, b)
+            except Exception:   # keep draining; a dead drain looks like
+                import traceback  # a silent hang to the caller
+                traceback.print_exc()
 
     def close(self):
         self._closed = True
