@@ -38,7 +38,10 @@ def run_sequence(ds, cfg: SLAMConfig, K: np.ndarray, t_cam1_cam0: np.ndarray,
         w, h = undistorter0.cam.w, undistorter0.cam.h
     import dataclasses
 
-    levels = min(levels, num_usable_levels(w, h))
+    # floor at 3: the pixel selector scores on three pyramid scales (DSO
+    # requires pyrLevelsUsed >= 3); num_usable_levels legitimately returns
+    # fewer below 128 px width
+    levels = min(levels, max(3, num_usable_levels(w, h)))
     cfg = cfg.replace(tracker=dataclasses.replace(
         cfg.tracker, pyr_levels=levels))
     intr = make_pyramid_intrinsics(
