@@ -143,6 +143,7 @@ def main():
     # vmap the same per-frame program over B independent sequences on ONE
     # chip: the batch-eval scaling story (SURVEY §2.3).
     batch_fps = {}
+    batch_fps_folded = {}
     for B in (8, 16, 32):
         tmpl_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), tmpl)
 
@@ -154,15 +155,33 @@ def main():
                     tuple(pyr.data), tm, intr, cfg, T0, zero, zero, one, one)
             return jax.vmap(one_seq)(imgs, tmpl_b, T_inits)
 
+        # folded form: pyramids stacked, each lane samples its own image
+        # through one rank-1 flat take (ops/residual_hb._sample_img) — a
+        # plain vmap hands XLA batched-operand gathers, the r2 batch-
+        # scaling wall (8 x 195 ideal -> 278 measured)
+        @jax.jit
+        def frame_step_batch_folded(imgs, T_inits, tmpl_b=tmpl_b):
+            pyrs = jax.vmap(lambda im: build_pyramid(im, LVLS))(imgs)
+            lanes = jnp.arange(imgs.shape[0], dtype=jnp.int32)
+
+            def one_seq(lane, tm, T0):
+                pyr_f = tuple((d, lane) for d in pyrs.data)
+                return track_candidate(
+                    pyr_f, tm, intr, cfg, T0, zero, zero, one, one)
+            return jax.vmap(one_seq)(lanes, tmpl_b, T_inits)
+
         imgs_b = jnp.stack([img_new] * B)
         Tb = jnp.stack([jnp.eye(4)] * B)
-        frame_step_batch(imgs_b, Tb).T.block_until_ready()
         n_iter = max(30 // (B // 8), 10)
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            outb = frame_step_batch(imgs_b, Tb)
-        outb.T.block_until_ready()
-        batch_fps[B] = round(B * n_iter / (time.perf_counter() - t0), 2)
+        for name, fn in (("vmap", frame_step_batch),
+                         ("folded", frame_step_batch_folded)):
+            fn(imgs_b, Tb).T.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                outb = fn(imgs_b, Tb)
+            outb.T.block_until_ready()
+            fps_b = round(B * n_iter / (time.perf_counter() - t0), 2)
+            (batch_fps if name == "vmap" else batch_fps_folded)[B] = fps_b
 
     e2e = bench_e2e(jax)
     try:
@@ -177,6 +196,8 @@ def main():
         "vs_baseline": round(fps / baseline, 3),
         "batch8_aggregate_fps": batch_fps[8],
         "batch_sweep_fps": {str(k): v for k, v in batch_fps.items()},
+        "batch_sweep_fps_folded": {str(k): v
+                                   for k, v in batch_fps_folded.items()},
         **e2e,
         **loop,
     }))

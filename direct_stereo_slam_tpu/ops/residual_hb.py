@@ -75,6 +75,31 @@ def _huber_energy(r, hw, sat, max_energy):
     return jnp.where(sat, max_energy, hw * r * r * (2.0 - hw))
 
 
+# ---------------------------------------------------------------------------
+# image operand: plain [H, W, 3] plane, or a FOLDED batch (stack [B, H, W, 3],
+# lane scalar). The folded form exists for batch-eval over B sequences: a
+# vmapped pass over per-sequence planes hands XLA batched-operand gathers
+# (~1.4x per-index cost on TPU, the measured batch-scaling wall); closing the
+# stack over the vmap and folding the lane index into one rank-1 take keeps
+# the fast flat-gather lowering at any B. Values are bitwise-identical.
+# ---------------------------------------------------------------------------
+
+
+def _img_dims(img):
+    if isinstance(img, tuple):
+        return img[0].shape[1], img[0].shape[2]
+    return img.shape[0], img.shape[1]
+
+
+def _sample_img(img, Ku, Kv):
+    if isinstance(img, tuple):
+        from .interp import bilinear_take_frames
+        stack, lane = img
+        fidx = jnp.broadcast_to(jnp.asarray(lane, jnp.int32), Ku.shape)
+        return bilinear_take_frames(stack, fidx, Ku, Kv)
+    return bilinear_take_channels(img, Ku, Kv)
+
+
 def _flow_stats(Ku, Kv, Ku_t, Kv_t, Ku_t2, Kv_t2, Ku_rt2, Kv_rt2, u0, v0, mask):
     """Optical-flow indicators over a subsample (every 32nd point at level 0,
     TrackerAndScaler.cpp:754-784). `mask` selects the subsample lanes."""
@@ -110,7 +135,7 @@ def pose_residual_pass(
     an 8-param Jacobian [trans(3), rot(3), aff_a, aff_b] accumulated into
     H = J^T W J / n and b = J^T W r / n, preconditioned by POSE_PRECOND.
     """
-    H_img, W_img, _ = img.shape
+    H_img, W_img = _img_dims(img)
     xyz1 = jnp.stack([pu, pv, jnp.ones_like(pu)], axis=-1)  # [N, 3]
     Kixyz = _mm(xyz1, RKi.T)                                     # R K^-1 x
     pt = Kixyz + t[None, :] * pid[:, None]
@@ -127,7 +152,7 @@ def pose_residual_pass(
         & (new_id > 0.0)
     )
 
-    hit_i, hit_dx, hit_dy = bilinear_take_channels(img, Ku, Kv)
+    hit_i, hit_dx, hit_dy = _sample_img(img, Ku, Kv)
     valid &= jnp.isfinite(hit_i)
 
     residual = hit_i - (aff_a * pcolor + aff_b)
@@ -290,7 +315,7 @@ def scale_residual_pass(
     ``rx = R01 K0^-1 x / id``, ``J = (dx fx1 (rx1 tz - rx3 tx) +
     dy fy1 (rx2 tz - rx3 ty)) / (s rx3 + tz)^2``.
     """
-    H_img, W_img, _ = img1.shape
+    H_img, W_img = _img_dims(img1)
     xyz1 = jnp.stack([pu, pv, jnp.ones_like(pu)], axis=-1)
     rKix = _mm(xyz1, R01Ki.T)                       # [N, 3]
     pt = scale * rKix + t01[None, :] * pid[:, None]
@@ -306,7 +331,7 @@ def scale_residual_pass(
         & (Ku < W_img - 3.0) & (Kv < H_img - 3.0)
         & (new_id > 0.0)
     )
-    hit_i, hit_dx, hit_dy = bilinear_take_channels(img1, Ku, Kv)
+    hit_i, hit_dx, hit_dy = _sample_img(img1, Ku, Kv)
     valid &= jnp.isfinite(hit_i)
 
     residual = hit_i - pcolor
