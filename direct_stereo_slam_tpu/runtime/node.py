@@ -138,11 +138,13 @@ class SLAMNode:
             input(f"[step] frame {self.incoming_id - 1} "
                   f"kf={shell.is_kf} — Enter to continue ")
 
-        # hand marginalized KFs to the loop handler
-        if self.loop_handler is not None:
-            while self.frontend.marginalized_queue:
-                self.loop_handler.publish_keyframe(
-                    self.frontend.marginalized_queue.pop(0))
+        # hand marginalized KFs to the loop handler; without one, still
+        # drain (each record pins its KF's full pyramid — an unbounded
+        # queue would leak a window's worth of images per marginalization)
+        while self.frontend.marginalized_queue:
+            mkf = self.frontend.marginalized_queue.pop(0)
+            if self.loop_handler is not None:
+                self.loop_handler.publish_keyframe(mkf)
         return shell
 
     def finish(self):
@@ -150,10 +152,10 @@ class SLAMNode:
         odometry trajectory rows (incoming_id x y z), the reference's
         sodso.txt content (LoopHandler.cpp:60-80)."""
         self.frontend.flush_pending()
-        if self.loop_handler is not None:
-            while self.frontend.marginalized_queue:
-                self.loop_handler.publish_keyframe(
-                    self.frontend.marginalized_queue.pop(0))
+        while self.frontend.marginalized_queue:
+            mkf = self.frontend.marginalized_queue.pop(0)
+            if self.loop_handler is not None:
+                self.loop_handler.publish_keyframe(mkf)
         rows = []
         if self.loop_handler is not None:
             self.loop_handler.join()     # drain the async queue (threaded)
