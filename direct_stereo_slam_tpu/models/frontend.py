@@ -854,11 +854,15 @@ class FrontEnd:
         """The keyframe pipeline, restructured around BUNDLED host pulls:
         on a remote-attached TPU each blocking pull costs one RTT (~27 ms)
         REGARDLESS of size, so every stage's host-needed values ride one
-        tuple pull. Four bundles per KF: (1) pre-insert views + immature
-        counts, (2) activation gates, (3) BA result + template starvation
-        + speculatively-dispatched scale grid + post-BA views, (4) point
-        flags + marginalized-frame export stats. The naive per-stage form
-        cost ~15 pulls/KF (~430 ms measured on the tunneled chip)."""
+        tuple pull — and after the r3 restructures only ONE blocking pull
+        remains on the KF critical path (bundle 3: BA gates + post-BA
+        views + template starvation + scale-grid results). Immature
+        counts ride the frame's tracker pull; activation is fully
+        device-side including pool-row allocation; the tail bundle
+        (point flags + marginalized exports) commits deferred at the
+        next frame's tracker pull (flush_pending). The naive per-stage
+        form cost ~15 pulls/KF (~430 ms measured on the tunneled chip);
+        r2's bundled form cost 4."""
         cfg = self.cfg
         self.flush_pending()        # no-op unless the track pull was skipped
         shell.is_kf = True
@@ -916,7 +920,7 @@ class FrontEnd:
         self.num_kfs += 1
 
         # ---- activate candidate points (FrontEnd.cpp:341-500) --------------
-        # (BUNDLE 2 inside: gating runs on device, one pull of the masks)
+        # (pull-free: gates, idepth LM and pool-row allocation on device)
         with self.timers.span("activate"):
             self._activate_points(slot, T_cw, pre_views, flagged)
 
