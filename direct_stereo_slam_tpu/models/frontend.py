@@ -99,7 +99,7 @@ def _gate_impl(pts, dist_map, KRKi1, Kt1, min_act_dist,
     ptp = jnp.matmul(xyz, KRKi1.T, precision=_HI) + Kt1[None] * id_mid[:, None]
     z = ptp[:, 2]
     # bounds-test the UNCLIPPED rounded coords (DSO checks the raw int,
-    # FrontEnd.cpp:398-401); clip only for the dist_map gather so lanes
+    # FrontEnd.cpp:434-437); clip only for the dist_map gather so lanes
     # that fail in_b still index safely. Clipping before the test made
     # the right/bottom checks vacuously true and the reference's deletion
     # of activatable-but-OOB candidates (cpp:447-449) never fired there.
@@ -110,7 +110,15 @@ def _gate_impl(pts, dist_map, KRKi1, Kt1, min_act_dist,
     gv = jnp.clip(gv_raw, 0, h2 - 1)
     in_b = ((z > 0) & (gu_raw > 0) & (gv_raw > 0)
             & (gu_raw < w2 - 1) & (gv_raw < h2 - 1))
-    gate = dist_map[gv, gu] >= min_act_dist * pts.my_type
+    # the reference adds frac(ptp[0]) — of the HOMOGENEOUS x, a DSO quirk
+    # that acts as a U[0,1) dither lowering the effective threshold
+    # (FrontEnd.cpp:439-440); replicated for behavior parity. Deliberate
+    # deviation kept: DSO's addIntoDistFinal makes each acceptance update
+    # the distance map for later candidates in the SAME pass; that
+    # sequential dependency doesn't vectorize — this pass gates against
+    # the pre-pass map only (slightly denser same-round activations).
+    dither = ptp[:, 0] - jnp.floor(ptp[:, 0])
+    gate = dist_map[gv, gu] + dither >= min_act_dist * pts.my_type
     gate_ok = can & in_b & gate
     never_traced = ~jnp.isfinite(pts.idepth_max) & (
         pts.status != immature.IPS_UNINITIALIZED)
