@@ -254,10 +254,17 @@ def bench_e2e(jax, n_frames=40):
     from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
     from direct_stereo_slam_tpu.utils.timing import barrier_overhead_ms
 
+    import dataclasses
+
     W, H = 1232, 368
     ds = SyntheticStereoDataset(n_frames=n_frames, width=W, height=H,
                                 speed=0.4)
     cfg = make_config(W, H, preset=0, mode=1)
+    # pipelined tracking (frontend._process_pipelined): benign frames hide
+    # the per-frame tracker pull behind the next frame's dispatch — the
+    # r3 e2e-FPS lever on a remote-attached chip (RTT 26-168 ms)
+    cfg = cfg.replace(runtime=dataclasses.replace(
+        cfg.runtime, pipelined_tracking=True))
     K = ds.K
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
                                    cfg.tracker.pyr_levels)
@@ -338,7 +345,8 @@ def bench_loop(jax, n_frames=100):
     cfg = make_config(W, H, preset=0, mode=1)
     cfg = cfg.replace(loop=dataclasses.replace(
         cfg.loop, loop_margin=12, lidar_range=40.0,
-        scan_context_thres=0.33, icp_thres=0.25))
+        scan_context_thres=0.33, icp_thres=0.25),
+        runtime=dataclasses.replace(cfg.runtime, pipelined_tracking=True))
     K = ds.K
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
                                    cfg.tracker.pyr_levels)

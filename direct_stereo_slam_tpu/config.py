@@ -266,6 +266,13 @@ class RuntimeConfig:
     debug_dump_dir: str = ""
     # goStepByStep (FrontEnd.cpp:689-700): wait for Enter between frames
     step_by_step: bool = False
+    # pipelined tracking (frontend._process_pipelined): dispatch frame N's
+    # track with a device-computed constant-motion candidate and consume
+    # frame N-1's async-copied result afterward, hiding the per-frame host
+    # pull RTT (26-168 ms measured on a tunneled chip). Keyframe decisions
+    # and lost detection lag one frame; KF/escalation/lost events flush the
+    # pipeline synchronously. Ignored under winner_policy="serial".
+    pipelined_tracking: bool = False
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,18 @@ from .tracker import (
 _HI = jax.lax.Precision.HIGHEST
 
 
+@jax.jit
+def _const_motion_candidate(T_rn_last, T_rn_prelast):
+    """Device-side constant-motion hypothesis (make_motion_tries stage1[0],
+    FrontEnd.cpp:149): with T_rn = warp ref->frame, the reference's
+    ``inv(slast_2_sprelast) @ lastF_2_slast`` reduces to
+    ``Tl @ inv(Tp) @ Tl``.  Computed on device from device-resident track
+    results so a pipelined frame's dispatch needs NO host pull of the
+    previous frame's pose (the RTT win that makes pipelined tracking work
+    on a remote-attached chip)."""
+    return T_rn_last @ jnp.linalg.inv(T_rn_prelast) @ T_rn_last
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def _halfres_distance_map(state, new_slot, K1, h2, w2):
     """Project every active point into the new KF at half resolution and
@@ -382,6 +394,11 @@ class FrontEnd:
         self.timers = timers if timers is not None else StageTimers()
         # deferred keyframe-tail commit (see _finalize_keyframe)
         self._pending_finalize = None
+        # pipelined tracking (cfg.runtime.pipelined_tracking): one frame in
+        # flight + device-resident motion state (T_rn_last, T_rn_prelast,
+        # aff_last) so benign frames never block on a host pull
+        self._pl_inflight = None
+        self._pl_state = None
 
         # monocular bootstrap state (cfg.runtime.mono_initializer)
         self.mono_state = None
@@ -452,6 +469,9 @@ class FrontEnd:
                 return shell
             # mono init just completed AND tracked the current frame: fall
             # through so it gets the keyframe decision like any other frame
+        elif (self.cfg.runtime.pipelined_tracking
+              and self.cfg.tracker.winner_policy != "serial"):
+            return self._process_pipelined(pyr0, img1, incoming_id, timestamp)
         else:
             shell = self._track_frame(pyr0, incoming_id, timestamp)
         if self.is_lost:
@@ -785,6 +805,291 @@ class FrontEnd:
             self.first_coarse_rmse = r0
         self.last_coarse_rmse = r0
         return shell
+
+    # ------------------------------------------------------------------
+    # pipelined tracking (cfg.runtime.pipelined_tracking)
+    # ------------------------------------------------------------------
+    # On a remote-attached TPU every blocking host pull costs one RTT
+    # (measured 26-168 ms depending on tunnel weather), and the r2/r3
+    # synchronous per-frame path pays exactly one per frame: the tracker
+    # pull that all host decisions (pose bookkeeping, KF decision,
+    # escalation) hang off.  Pipelined mode hides it: frame N's track
+    # program dispatches IMMEDIATELY with a device-computed constant-motion
+    # candidate (_const_motion_candidate over device-resident results of
+    # N-1/N-2 — no host data needed), its outputs start a copy_to_host_async,
+    # and only THEN is frame N-1's (already-arrived) result consumed and
+    # fully processed.  Benign frames therefore block ~0 ms on the pull;
+    # the steady-state period approaches max(host work, device work)
+    # instead of RTT + both.
+    #
+    # Semantics vs the synchronous path (all deviations one frame deep,
+    # A/B'd in tests/test_pipelined_tracking.py + PARITY.md):
+    #  - the keyframe decision/pipeline for frame N-1 runs while frame N is
+    #    already in flight, so frame N tracks against the PRE-keyframe
+    #    template (the reference, being synchronous, would use the new
+    #    one).  The world-frame pose stays correct — it is composed from
+    #    the template ref pose the frame was actually tracked against.
+    #  - escalation (the staged try-list) is detected one frame late and
+    #    re-runs synchronously; any keyframe / escalation / lost event
+    #    flushes the pipeline (the in-flight successor consumes
+    #    synchronously) and reseeds the device motion state from host
+    #    shells, so error never compounds.
+    #  - is_lost / init_failed surface one frame later than the reference's
+    #    synchronous driver would see them (runtime/node.py re-checks every
+    #    frame, so recovery still triggers).
+
+    def _process_pipelined(self, pyr0: Pyramid, img1, incoming_id,
+                           timestamp) -> FrameShell:
+        if self._pl_state is None:
+            # no device motion state yet (post-init / post-flush-reset /
+            # post-escalation): one synchronous frame, then seed
+            shell = self._track_frame(pyr0, incoming_id, timestamp)
+            if self.is_lost:
+                return shell
+            if self._keyframe_decision(shell):
+                self._make_keyframe(shell, pyr0, img1)
+            else:
+                self._make_non_keyframe(shell, pyr0)
+            self._pl_seed()
+            return shell
+
+        # ---- dispatch frame N (pull-free) -------------------------------
+        with self.timers.span("track"):
+            Tl, Tp, aff_dev = self._pl_state
+            T_cand = _const_motion_candidate(Tl, Tp)
+            r = track_candidate_jit(
+                tuple(pyr0.data), self.template, self.intr0, self.cfg,
+                T_cand, aff_dev, self.template_ref_aff,
+                self.template_ref_exposure, jnp.float32(self._cur_exposure))
+            counts_dev = jnp.sum(self.immatures.valid, axis=1)
+            out = (r.res_per_level, r.flow, r.T,
+                   jnp.stack([r.aff.a, r.aff.b], -1), r.ok, counts_dev)
+            jax.tree_util.tree_map(
+                lambda a: a.copy_to_host_async()
+                if hasattr(a, "copy_to_host_async") else None, out)
+            # optimistic device-state update (assumes the primary candidate
+            # wins — true on almost every frame; escalation reseeds)
+            self._pl_state = (r.T, Tl, r.aff)
+        # the previous KF's deferred tail commits here: its bundle pull
+        # rides the wait of the just-dispatched track program
+        self.flush_pending()
+
+        prev = self._pl_inflight
+        shell = FrameShell(incoming_id, timestamp, self.cur_pose.copy(),
+                           np.zeros(2, np.float32),
+                           exposure=self._cur_exposure)
+        self.all_frames.append(shell)
+        ref_slot = self.template_kf_slot
+        self._pl_inflight = {
+            "shell": shell, "pyr": pyr0, "img1": img1, "out": out,
+            "ref_slot": ref_slot,
+            "ref_kf_id": int(self._views_np()[4][ref_slot]),
+            "T_w_ref": self._kf_pose(ref_slot),
+            "frame_idx": len(self.all_frames) - 1,
+            "counts_key": self.immatures,
+        }
+
+        # ---- consume frame N-1 ------------------------------------------
+        if prev is not None:
+            flushed = self._pl_consume(prev)
+            if self.is_lost or self.init_failed:
+                self._pl_reset()
+                return shell
+            if flushed:
+                # the in-flight successor's candidate/template context is
+                # stale (a KF rebuilt the template, or escalation moved the
+                # motion model): discard its result and re-track it
+                # synchronously against the CURRENT template — exactly what
+                # the synchronous path would have computed for it
+                inf = self._pl_inflight
+                self._pl_inflight = None
+                self._pl_consume(inf, retrack=True)
+                if self.is_lost or self.init_failed:
+                    self._pl_reset()
+                    return shell
+                self._pl_seed()
+        return shell
+
+    def _pl_consume(self, inf, retrack: bool = False) -> bool:
+        """Complete a pipelined frame: pull its track result, accept or
+        escalate, run shell bookkeeping, keyframe decision and the
+        keyframe/non-keyframe pipeline.  Returns True when the pipeline
+        must flush (keyframe, escalation, BIG-ERROR or lost): the
+        in-flight successor's candidate/template context is stale.
+
+        ``retrack=True`` discards the in-flight result and re-tracks the
+        frame synchronously against the CURRENT template (used on pipeline
+        flush, where the dispatched program ran against a stale one)."""
+        shell = inf["shell"]
+        with self.timers.span("track"):
+            if retrack:
+                pulled = self._pl_retrack(inf)
+            else:
+                pulled = jax.device_get(inf["out"])
+        res_l, flow, T, affab, ok, counts = [np.asarray(p) for p in pulled]
+        # one-trace-stale immature counts (dispatch-time snapshot); the
+        # marginalization flagging they feed is a density heuristic
+        # (FrontEndMarginalize.cpp:100-107), one trace does not move it
+        self._track_imm_counts = counts
+        self._track_imm_counts_key = self.immatures
+
+        # thr from the CURRENT last_coarse_rmse (= frame N-2's r0, exactly
+        # the synchronous semantics; 1e9 right after a KF, also matching)
+        thr = self.cfg.tracker.re_track_threshold * self.last_coarse_rmse
+        r0 = float(res_l[0])
+        good = bool(ok) and math.isfinite(r0) and np.all(np.isfinite(flow))
+        flushed = False
+        if (not good) or (r0 > thr):
+            # trouble: synchronous staged escalation against the CURRENT
+            # template (if a KF landed between dispatch and consume this is
+            # the new one — the synchronous path's behavior)
+            flushed = True
+            res_np, idx, good = self._pl_escalate(inf)
+            if res_np is not None:
+                T = res_np.T[idx]
+                affab = res_np.aff[idx]
+                flow = res_np.flow[idx]
+                res_l = res_np.res_per_level[idx]
+                r0 = float(res_l[0])
+                inf["ref_slot"] = self.template_kf_slot
+                inf["ref_kf_id"] = int(
+                    self._views_np()[4][self.template_kf_slot])
+                inf["T_w_ref"] = self._kf_pose(self.template_kf_slot)
+
+        if not (math.isfinite(r0) and np.all(np.isfinite(flow))):
+            # non-finite tracking residual -> lost (FrontEnd.cpp:635-640)
+            self.is_lost = True
+            return True
+        if not good:
+            # BIG ERROR: keep the motion-model result (FrontEnd.cpp:249-255)
+            flow = np.zeros(3, np.float32)
+
+        # world pose: compose against the ref KF's CURRENT estimate when it
+        # is still in the window (BA/scale refinements fold in, like the
+        # reference's camToTrackingRef recompute), else the dispatch-time
+        # snapshot
+        if (inf["ref_slot"] in self._active_slots()
+                and int(self._views_np()[4][inf["ref_slot"]])
+                == inf["ref_kf_id"]):
+            T_w_ref = self._kf_pose(inf["ref_slot"])
+        else:
+            T_w_ref = inf["T_w_ref"]
+        shell.T_wc = (T_w_ref @ np.linalg.inv(T)).astype(np.float32)
+        shell.aff = np.asarray(affab, np.float32).copy()
+        shell.tracking_ref_kf = inf["ref_kf_id"]
+        shell._T_ref_new = T
+        shell._flow = np.asarray(flow, np.float32)
+        shell._res0 = r0
+        self.cur_pose = shell.T_wc
+        if self.first_coarse_rmse < 0:
+            self.first_coarse_rmse = r0
+        self.last_coarse_rmse = r0
+
+        if self._keyframe_decision(shell):
+            self._make_keyframe(shell, inf["pyr"], inf["img1"])
+            flushed = True
+        else:
+            self._make_non_keyframe(shell, inf["pyr"])
+        return flushed or self.is_lost or self.init_failed
+
+    def _pl_retrack(self, inf):
+        """Fresh single-candidate track of a flushed pipelined frame
+        against the CURRENT template (the synchronous path's steady-state
+        program: constant-motion candidate + last frame's affine).  Returns
+        the same 6-tuple the pipelined pull yields; updates inf's ref-KF
+        fields to the current template."""
+        idx = inf["frame_idx"]
+        fs = self.all_frames
+        T_w_ref = self._kf_pose(self.template_kf_slot)
+        if idx >= 2:
+            slast, sprelast = fs[idx - 1], fs[idx - 2]
+            slast_2_sprelast = np.linalg.inv(sprelast.T_wc) @ slast.T_wc
+            lastF_2_slast = np.linalg.inv(slast.T_wc) @ T_w_ref
+            stage1, _ = make_motion_tries(
+                np.eye(4), lastF_2_slast, slast_2_sprelast, self.cfg)
+            T_cand = stage1[0]
+            aff_init = AffLight(jnp.float32(slast.aff[0]),
+                                jnp.float32(slast.aff[1]))
+        else:
+            T_cand = np.eye(4, dtype=np.float32)
+            aff_init = AffLight(jnp.float32(0.0), jnp.float32(0.0))
+        r = track_candidate_jit(
+            tuple(inf["pyr"].data), self.template, self.intr0, self.cfg,
+            jnp.asarray(T_cand), aff_init, self.template_ref_aff,
+            self.template_ref_exposure,
+            jnp.float32(max(inf["shell"].exposure, 1e-6)))
+        counts_dev = jnp.sum(self.immatures.valid, axis=1)
+        inf["ref_slot"] = self.template_kf_slot
+        inf["ref_kf_id"] = int(self._views_np()[4][self.template_kf_slot])
+        inf["T_w_ref"] = T_w_ref
+        return jax.device_get((r.res_per_level, r.flow, r.T,
+                               jnp.stack([r.aff.a, r.aff.b], -1), r.ok,
+                               counts_dev))
+
+    def _pl_escalate(self, inf):
+        """Synchronous staged try-list for a pipelined frame whose primary
+        candidate failed: the full ordered batch (stage1 + stage2) walked
+        with the reference's serial achievedRes rule (FrontEnd.cpp:198-248).
+        Rare by construction, so the single bigger batch + one pull beats
+        two staged pulls on a remote-attached chip."""
+        idx = inf["frame_idx"]
+        fs = self.all_frames
+        T_w_ref = self._kf_pose(self.template_kf_slot)
+        if idx >= 2:
+            slast, sprelast = fs[idx - 1], fs[idx - 2]
+            slast_2_sprelast = np.linalg.inv(sprelast.T_wc) @ slast.T_wc
+            lastF_2_slast = np.linalg.inv(slast.T_wc) @ T_w_ref
+            aff_init = AffLight(jnp.float32(slast.aff[0]),
+                                jnp.float32(slast.aff[1]))
+        else:
+            slast_2_sprelast = np.eye(4)
+            lastF_2_slast = np.eye(4)
+            aff_init = AffLight(jnp.float32(0.0), jnp.float32(0.0))
+        stage1, stage2 = make_motion_tries(
+            np.eye(4), lastF_2_slast, slast_2_sprelast, self.cfg)
+        batch = np.concatenate([stage1, stage2], axis=0)
+        r = track_candidates_batch(
+            tuple(inf["pyr"].data), self.template, self.intr0, self.cfg,
+            jnp.asarray(batch), aff_init, self.template_ref_aff,
+            self.template_ref_exposure,
+            jnp.float32(max(inf["shell"].exposure, 1e-6)))
+        pulled = jax.device_get((r.res_per_level, r.flow, r.T,
+                                 jnp.stack([r.aff.a, r.aff.b], -1), r.ok))
+        res_np = TrackResultNp(*pulled)
+        i, g = select_winner_serial(res_np, self.last_coarse_rmse, self.cfg)
+        return res_np, i, g
+
+    def _pl_seed(self):
+        """(Re)seed the device motion state from host shells: requires two
+        frames tracked against the current template's world frame."""
+        fs = self.all_frames
+        if len(fs) < 2 or self.template is None or self.template_kf_slot < 0:
+            self._pl_state = None
+            return
+        T_w_ref = self._kf_pose(self.template_kf_slot)
+        Tl = np.linalg.inv(fs[-1].T_wc) @ T_w_ref
+        Tp = np.linalg.inv(fs[-2].T_wc) @ T_w_ref
+        aff = AffLight(jnp.float32(fs[-1].aff[0]), jnp.float32(fs[-1].aff[1]))
+        self._pl_state = (jnp.asarray(Tl, jnp.float32),
+                          jnp.asarray(Tp, jnp.float32), aff)
+
+    def _pl_reset(self):
+        self._pl_inflight = None
+        self._pl_state = None
+
+    def flush_pipeline(self):
+        """Synchronously consume any in-flight pipelined frame.  Callers:
+        everything that reads the newest shell's pose or serializes state —
+        node.finish, checkpointing, trajectory export."""
+        inf = self._pl_inflight
+        if inf is None:
+            return
+        self._pl_inflight = None
+        self._pl_consume(inf)
+        if not (self.is_lost or self.init_failed):
+            self._pl_seed()
+        else:
+            self._pl_reset()
 
     # ------------------------------------------------------------------
     # keyframe decision (FrontEnd.cpp:644-667)

@@ -53,7 +53,8 @@ def _load_namedtuple(prefix: str, cls, arrays) -> Any:
 
 
 def save_frontend(path: str, fe: FrontEnd):
-    fe.flush_pending()   # commit any deferred keyframe tail first
+    fe.flush_pipeline() # consume any pipelined in-flight frame first
+    fe.flush_pending()  # then commit any deferred keyframe tail
     arrays: Dict[str, np.ndarray] = {}
     _save_namedtuple("ba", fe.ba_state, arrays)
     if fe.template is not None:
@@ -113,7 +114,9 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
         meta = json.load(f)
 
     # a deferred keyframe tail on the target would otherwise commit
-    # against the replaced state below (flush_pending asserts identity)
+    # against the replaced state below (flush_pending asserts identity);
+    # a pipelined in-flight frame belongs to the replaced state too
+    fe._pl_reset()
     fe.flush_pending()
     fe.ba_state = _load_namedtuple("ba", ba.BAState, arrays)
     if meta["has_template"]:

@@ -69,7 +69,9 @@ class SLAMNode:
         # reinitialize preserving pose + KF offset (main.cpp:229-245)
         if self.frontend.init_failed or self.frontend.is_lost:
             # commit any deferred keyframe tail first: its marginalized-KF
-            # exports must survive into the carried-over queue
+            # exports must survive into the carried-over queue (any
+            # pipelined in-flight frame is dropped — tracking was lost)
+            self.frontend._pl_reset()
             self.frontend.flush_pending()
             last_pose = self.frontend.cur_pose
             prev_kf = self.frontend.num_kfs  # already global (offset baked in)
@@ -151,6 +153,7 @@ class SLAMNode:
         """Flush remaining window KFs as trajectory records and return the
         odometry trajectory rows (incoming_id x y z), the reference's
         sodso.txt content (LoopHandler.cpp:60-80)."""
+        self.frontend.flush_pipeline()
         self.frontend.flush_pending()
         while self.frontend.marginalized_queue:
             mkf = self.frontend.marginalized_queue.pop(0)

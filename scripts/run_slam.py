@@ -57,6 +57,12 @@ def main():
                     help="KFs excluded from retrieval (reference default "
                     "100; lower it for short demo sequences)")
     ap.add_argument("--levels", type=int, default=5)
+    ap.add_argument("--pipelined", action="store_true", default=True,
+                    help="pipelined tracking: hide the per-frame tracker "
+                         "pull behind the next frame's dispatch (default)")
+    ap.add_argument("--no-pipelined", dest="pipelined", action="store_false",
+                    help="synchronous per-frame tracking (reference-exact "
+                         "frame ordering)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default="./slam_out")
     ap.add_argument("--live", action="store_true",
@@ -157,7 +163,8 @@ def main():
         cfg.runtime,
         live_view_path=os.path.join(args.out, "live.html") if args.live else "",
         debug_dump_dir=args.debug_dir or "",
-        step_by_step=args.step))
+        step_by_step=args.step,
+        pipelined_tracking=args.pipelined))
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], w, h, levels)
 
     handler = LoopHandler(cfg, intr)
