@@ -1,29 +1,46 @@
 """Benchmark: stereo tracking + scale-optimization throughput per chip,
 plus the END-TO-END SLAMNode pipeline with an honest per-stage profile.
 
-Measurements at KITTI resolution (1232x368, preset-0 budgets):
+Budgeted streaming protocol (r4): the driver gives bench.py a finite time
+budget; r3's all-or-nothing single print at the very end turned a timeout
+into a NULL round record (BENCH_r03: rc=124, parsed=null). Now:
+
+- a total budget is read from ``DSSLAM_BENCH_BUDGET_S`` (default 480 s);
+- after EVERY section completes, the full cumulative result JSON is
+  re-printed as one line (the driver keeps the last parseable line), so a
+  timeout can only truncate later sections, never erase earlier ones;
+- each section estimates its cost from its own first pass and SKIPS
+  (recording ``<section>_skipped: "budget"``) instead of overrunning;
+- the reference bar: its timing table prints at shutdown unconditionally
+  (/root/reference/src/main.cpp:178-210).
+
+Sections, in order (cheap + headline first):
 
 1. hot path — the per-frame program alone (coarse-to-fine LM tracking +
-   amortized 1-DoF stereo scale optimization) on device-resident frames;
-2. batch sweep — the same program vmapped over B in {8, 16, 32}
-   independent sequences on ONE chip (BASELINE config 5 scaling story);
+   amortized 1-DoF stereo scale optimization) on device-resident frames
+   at KITTI resolution (1232x368, preset-0 budgets);
+2. batch sweep — the same program over B in {8, 16, 32} independent
+   sequences on ONE chip (BASELINE config 5 scaling story), in both the
+   plain-vmap and the folded flat-take gather forms;
 3. e2e — the full ``SLAMNode.process`` loop on a synthetic forward
    sequence: real host winner selection, keyframe pipeline (trace /
    activate / windowed BA / template / scale opt), marginalization and
    the (synchronous) loop-closure stack. Two tables:
-   - ``stages_ms``: async wall-clock spans (the r2 table) — what the
-     pipeline FEELS like, but device work drains inside whichever stage
-     blocks first;
+   - ``stages_ms``: async wall-clock spans — what the pipeline FEELS
+     like, but device work drains inside whichever stage blocks first;
    - ``stages_sync_ms``: a separate profiled pass with a device barrier
      at every span exit + blocking-pull accounting (``pulls``). Each
      stage's number includes its own device time plus one barrier RTT
      (``barrier_ms``, measured — subtract it per span to compare);
-4. e2e_loop — a revisit lap (loop trajectory, loop_margin=4 override
-   documented below) so sc_generation / search_sc / direct_est / icp /
-   pose_graph_opt appear with nonzero counts and >=1 loop VERIFIABLY
-   closes (asserted).
+4. e2e_loop — ONE post-cold revisit lap at the reference-default Scan
+   Context gate 0.33 (loop trajectory, loop_margin=12 documented below)
+   so sc_generation / search_sc / direct_est / icp / pose_graph_opt
+   appear with real counts; ``loop_count`` may legitimately read 0 on a
+   numerics-shifted day — reported, not asserted (r3's gate-walk retry
+   loop is gone: it multiplied worst-case cost by 4 and masked recall
+   regressions, VERDICT r3 weak #6).
 
-Prints ONE JSON line:
+Every line printed is the same shape:
 
     {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/baseline,
      "e2e_fps": N, "stages_ms": {...}, "stages_sync_ms": {...},
@@ -34,10 +51,31 @@ per chip; the C++ reference runs roughly realtime, ~10 FPS, on its CPU).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+BUDGET_S = float(os.environ.get("DSSLAM_BENCH_BUDGET_S", "480"))
+_T0 = time.monotonic()
+
+_REPORT = {"metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
+           "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+           "budget_s": BUDGET_S}
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def emit(**kw):
+    """Merge kw into the cumulative report and print the WHOLE report as
+    one JSON line. The driver keeps the last parseable line, so each emit
+    supersedes the previous one; a timeout only loses un-emitted work."""
+    _REPORT.update(kw)
+    _REPORT["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(_REPORT), flush=True)
 
 
 def _setup_cache(jax):
@@ -59,9 +97,8 @@ def _setup_cache(jax):
         pass
 
 
-def main():
-    import jax
-    _setup_cache(jax)
+def bench_hot_path(jax):
+    """Section 1: single-sequence tracking + scale-opt FPS (the headline)."""
     import jax.numpy as jnp
 
     from direct_stereo_slam_tpu.config import make_config
@@ -138,13 +175,29 @@ def main():
 
     fps = N_FRAMES / dt
     baseline = 100.0
+    emit(value=round(fps, 2), vs_baseline=round(fps / baseline, 3))
 
-    # ---- batched multi-sequence throughput sweep (BASELINE config 5) -----
-    # vmap the same per-frame program over B independent sequences on ONE
-    # chip: the batch-eval scaling story (SURVEY §2.3).
+    # hand the built pieces to the batch sweep so it needn't rebuild
+    return dict(jnp=jnp, tmpl=tmpl, intr=intr, cfg=cfg, img_new=img_new,
+                LVLS=LVLS, zero=zero, one=one,
+                build_pyramid=build_pyramid, track_candidate=track_candidate)
+
+
+def bench_batch_sweep(jax, hot):
+    """Section 2: batched multi-sequence throughput sweep (BASELINE
+    config 5). vmap the per-frame program over B independent sequences on
+    ONE chip: the batch-eval scaling story (SURVEY §2.3)."""
+    jnp = hot["jnp"]
+    tmpl, intr, cfg = hot["tmpl"], hot["intr"], hot["cfg"]
+    img_new, LVLS, zero, one = hot["img_new"], hot["LVLS"], hot["zero"], hot["one"]
+    build_pyramid, track_candidate = hot["build_pyramid"], hot["track_candidate"]
+
     batch_fps = {}
     batch_fps_folded = {}
     for B in (8, 16, 32):
+        if _remaining() < 45:   # each B costs ~15-40 s incl compiles
+            emit(batch_sweep_skipped=f"budget (at B={B})")
+            break
         tmpl_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), tmpl)
 
         @jax.jit
@@ -182,25 +235,11 @@ def main():
             outb.T.block_until_ready()
             fps_b = round(B * n_iter / (time.perf_counter() - t0), 2)
             (batch_fps if name == "vmap" else batch_fps_folded)[B] = fps_b
-
-    e2e = bench_e2e(jax)
-    try:
-        loop = bench_loop(jax)
-    except Exception as e:          # never lose the whole bench line
-        loop = {"loop_error": f"{type(e).__name__}: {e}"[:200]}
-
-    print(json.dumps({
-        "metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / baseline, 3),
-        "batch8_aggregate_fps": batch_fps[8],
-        "batch_sweep_fps": {str(k): v for k, v in batch_fps.items()},
-        "batch_sweep_fps_folded": {str(k): v
-                                   for k, v in batch_fps_folded.items()},
-        **e2e,
-        **loop,
-    }))
+        emit(batch_sweep_fps={str(k): v for k, v in batch_fps.items()},
+             batch_sweep_fps_folded={str(k): v
+                                     for k, v in batch_fps_folded.items()},
+             **({"batch8_aggregate_fps": batch_fps[8]} if 8 in batch_fps
+                else {}))
 
 
 STAGE_NAMES = [
@@ -243,12 +282,13 @@ def _stage_table(timers):
 
 
 def bench_e2e(jax, n_frames=40):
-    """Full SLAMNode pipeline at KITTI resolution on a synthetic forward
-    sequence. One cold pass (compiles), two warm async passes (keep the
+    """Section 3: full SLAMNode pipeline at KITTI resolution on a
+    synthetic forward sequence. One cold pass (compiles), then as many
+    warm async passes as the budget allows (>=1, up to 2 — keep the
     faster: the remote-attached chip's round-trip latency varies
-    several-fold between runs — measured 26-86 ms per pull within
+    several-fold between runs, measured 26-86 ms per pull within
     minutes), then ONE profiled pass (device barrier per span + pull
-    accounting) for the honest table."""
+    accounting) for the honest table, budget permitting."""
     from direct_stereo_slam_tpu.config import make_config
     from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
     from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
@@ -262,7 +302,9 @@ def bench_e2e(jax, n_frames=40):
     cfg = make_config(W, H, preset=0, mode=1)
     # pipelined tracking (frontend._process_pipelined): benign frames hide
     # the per-frame tracker pull behind the next frame's dispatch — the
-    # r3 e2e-FPS lever on a remote-attached chip (RTT 26-168 ms)
+    # r3 e2e-FPS lever on a remote-attached chip (RTT 26-168 ms). The
+    # library default is OFF (reference-exact ordering); the bench opts in
+    # and records the mode so cross-round numbers stay labeled.
     cfg = cfg.replace(runtime=dataclasses.replace(
         cfg.runtime, pipelined_tracking=True))
     K = ds.K
@@ -277,41 +319,60 @@ def bench_e2e(jax, n_frames=40):
     jax.block_until_ready(frames[-1][0])
 
     run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)
+    t_cold0 = time.perf_counter()
     run()                       # cold: compiles
-    dt_a, timers_a, _ = run()
-    dt_b, timers_b, _ = run()
-    dt, timers = (dt_a, timers_a) if dt_a <= dt_b else (dt_b, timers_b)
+    t_cold = time.perf_counter() - t_cold0
 
-    barrier_ms = barrier_overhead_ms()
-    _, sync_timers, _ = run(sync=True, count_pulls=True)
-
-    return {
+    dt, timers, _ = run()       # warm pass 1 (always)
+    out = {
         "e2e_fps": round(n_frames / dt, 2),
         "e2e_per_frame_ms": round(1000.0 * dt / n_frames, 3),
         "e2e_frames": n_frames,
+        "e2e_pipelined": True,
+        "e2e_cold_s": round(t_cold, 1),
         "stages_ms": _stage_table(timers),
-        "stages_sync_ms": _stage_table(sync_timers),
-        "barrier_ms": round(barrier_ms, 2),
-        "pulls": sync_timers.pull_stats(),
     }
+    emit(**out)
+
+    if _remaining() > 2.5 * dt:             # warm pass 2: keep the faster
+        dt_b, timers_b, _ = run()
+        if dt_b < dt:
+            dt, timers = dt_b, timers_b
+            emit(e2e_fps=round(n_frames / dt, 2),
+                 e2e_per_frame_ms=round(1000.0 * dt / n_frames, 3),
+                 stages_ms=_stage_table(timers))
+
+    # profiled pass: honest sync table + pull accounting. Sync passes run
+    # slower than async (a barrier RTT per span) — budget ~2.5x warm dt.
+    if _remaining() > 3.0 * dt:
+        barrier_ms = barrier_overhead_ms()
+        _, sync_timers, _ = run(sync=True, count_pulls=True)
+        emit(stages_sync_ms=_stage_table(sync_timers),
+             barrier_ms=round(barrier_ms, 2),
+             pulls=sync_timers.pull_stats())
+    else:
+        emit(e2e_sync_skipped="budget")
+    return dt
 
 
 def bench_loop(jax, n_frames=100):
-    """Revisit lap at KITTI resolution with a SAME-HEADING revisit: 1.45
-    laps of a circle, so the tail retraces the first segment with matching
-    camera orientation — the geometry loop closure actually needs (like
-    KITTI's revisits). A bare 1.0-lap circle never closes: Scan Context is
-    place-only (heading-agnostic in a 40 m-range room), so its matches can
-    face 90-250 deg away from the current frame, leaving direct alignment
-    zero visual overlap and ICP a divergent seed (measured: 0 closures in
-    70 frames; with the retrace, 5 direct closures in 100).
+    """Section 4: revisit lap at KITTI resolution with a SAME-HEADING
+    revisit: 1.45 laps of a circle, so the tail retraces the first segment
+    with matching camera orientation — the geometry loop closure actually
+    needs (like KITTI's revisits). A bare 1.0-lap circle never closes:
+    Scan Context is place-only (heading-agnostic in a 40 m-range room), so
+    its matches can face 90-250 deg away from the current frame, leaving
+    direct alignment zero visual overlap and ICP a divergent seed
+    (measured: 0 closures in 70 frames; with the retrace, 5 direct
+    closures in 100).
 
     loop_margin is lowered to 12 KF-entries (the synthetic lap is ~35 KFs
     end to end — far shorter than the KITTI revisit intervals the default
     100 insertion lag is sized for; the lag policy itself is covered by
-    tests/test_loop_components). Asserts >=1 verified loop closure so the
-    loop stack's cost on the critical path is actually measured, covering
-    the reference's full 17-stage shutdown table (main.cpp:181-201)."""
+    tests/test_loop_components). ONE post-cold pass at the reference-
+    default scan_context_thres=0.33; loop_count is REPORTED (0 = recall
+    regression signal), not asserted, and no gate walking happens — the
+    r3 walk could quadruple the section's cost and hid which gate fired."""
     import dataclasses
 
     import numpy as np
@@ -356,37 +417,67 @@ def bench_loop(jax, n_frames=100):
         frames.append((f["img0"], f["img1"], float(f["timestamp"])))
     jax.block_until_ready(frames[-1][0])
 
-    def run_with(thres, **kw):
-        c = cfg.replace(loop=dataclasses.replace(
-            cfg.loop, scan_context_thres=thres))
-        return _run_node(jax, frames, c, intr, ds.t_cam1_cam0, **kw)
+    run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)
 
-    run_with(0.33)              # cold
-    # a last-ulp numerics shift can move genuine revisits across the
-    # retrieval gate on this short synthetic lap; rather than dying (and
-    # losing the whole bench line), walk the gate up and REPORT which one
-    # closed — loop_sc_thres 0.33 = reference default
-    dt = timers = handler = None
-    for thres in (0.33, 0.40, 0.48):
-        dt, timers, handler = run_with(thres)
-        loops = handler.direct_loop_count + handler.icp_loop_count
-        if loops >= 1:
-            break
-    assert loops >= 1, "loop lap closed no loop even at sc_thres=0.48"
+    t0 = time.perf_counter()
+    run()                       # cold (compiles the loop stack)
+    t_cold = time.perf_counter() - t0
+    emit(loop_cold_s=round(t_cold, 1))
+
+    dt, timers, handler = run()  # the ONE post-cold measured pass
+    loops = handler.direct_loop_count + handler.icp_loop_count
+    emit(loop_fps=round(n_frames / dt, 2),
+         loop_count=int(loops),
+         loop_sc_thres=0.33,
+         loop_stages_ms=_stage_table(timers))
 
     # production shape: the loop handler runs on its own thread (the
     # reference's LoopHandler::run boost::thread), so detection/PGO cost
-    # leaves the per-frame critical path; report that lap too
-    dt_thr, _, handler_thr = run_with(thres, threaded=True)
-    return {
-        "loop_fps": round(n_frames / dt, 2),
-        "loop_fps_threaded": round(n_frames / dt_thr, 2),
-        "loop_count": int(loops),
-        "loop_count_threaded": int(handler_thr.direct_loop_count
-                                   + handler_thr.icp_loop_count),
-        "loop_sc_thres": thres,
-        "loop_stages_ms": _stage_table(timers),
-    }
+    # leaves the per-frame critical path; report that lap too if budget
+    if _remaining() > 1.5 * dt:
+        dt_thr, _, handler_thr = run(threaded=True)
+        emit(loop_fps_threaded=round(n_frames / dt_thr, 2),
+             loop_count_threaded=int(handler_thr.direct_loop_count
+                                     + handler_thr.icp_loop_count))
+    else:
+        emit(loop_threaded_skipped="budget")
+
+
+def main():
+    import jax
+    _setup_cache(jax)
+
+    emit()                      # line 0: the skeleton always exists
+
+    hot = bench_hot_path(jax)   # section 1: headline single-seq FPS
+
+    try:
+        bench_batch_sweep(jax, hot)
+    except Exception as e:
+        emit(batch_error=f"{type(e).__name__}: {e}"[:200])
+
+    # e2e: a cold pass costs ~1-4 min of compiles on an empty cache; with
+    # the persistent cache it's tens of seconds. Require headroom for
+    # cold + one warm pass; scale the optional passes inside.
+    e2e_dt = None
+    if _remaining() > 60:
+        try:
+            e2e_dt = bench_e2e(jax)
+        except Exception as e:
+            emit(e2e_error=f"{type(e).__name__}: {e}"[:200])
+    else:
+        emit(e2e_skipped="budget")
+
+    # loop lap: cold + one pass at ~2-5 e2e FPS over 100 frames. Estimate
+    # from the measured e2e rate when available.
+    est_loop = (2.6 * (100 / 40) * e2e_dt) if e2e_dt else 120
+    if _remaining() > est_loop:
+        try:
+            bench_loop(jax)
+        except Exception as e:  # never lose the earlier sections
+            emit(loop_error=f"{type(e).__name__}: {e}"[:200])
+    else:
+        emit(loop_skipped="budget")
 
 
 if __name__ == "__main__":

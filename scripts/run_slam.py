@@ -57,12 +57,14 @@ def main():
                     help="KFs excluded from retrieval (reference default "
                     "100; lower it for short demo sequences)")
     ap.add_argument("--levels", type=int, default=5)
-    ap.add_argument("--pipelined", action="store_true", default=True,
+    ap.add_argument("--pipelined", action="store_true", default=False,
                     help="pipelined tracking: hide the per-frame tracker "
-                         "pull behind the next frame's dispatch (default)")
+                         "pull behind the next frame's dispatch (opt-in; "
+                         "the default is the reference-exact synchronous "
+                         "frame ordering, matching the library default)")
     ap.add_argument("--no-pipelined", dest="pipelined", action="store_false",
                     help="synchronous per-frame tracking (reference-exact "
-                         "frame ordering)")
+                         "frame ordering; the default)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default="./slam_out")
     ap.add_argument("--live", action="store_true",
