@@ -399,6 +399,11 @@ class FrontEnd:
         # aff_last) so benign frames never block on a host pull
         self._pl_inflight = None
         self._pl_state = None
+        # newest FULLY-PROCESSED shell (pose/is_kf final). In pipelined
+        # mode add_stereo_frame returns the in-flight shell whose pose and
+        # is_kf are placeholders until consumed one frame later; viewers and
+        # debug dumps must read this instead (ADVICE r3, node.py:103)
+        self.last_completed_shell: Optional[FrameShell] = None
 
         # monocular bootstrap state (cfg.runtime.mono_initializer)
         self.mono_state = None
@@ -482,6 +487,7 @@ class FrontEnd:
             self._make_keyframe(shell, pyr0, img1)
         else:
             self._make_non_keyframe(shell, pyr0)
+        self.last_completed_shell = shell
         return shell
 
     # ------------------------------------------------------------------
@@ -850,6 +856,7 @@ class FrontEnd:
                 self._make_keyframe(shell, pyr0, img1)
             else:
                 self._make_non_keyframe(shell, pyr0)
+            self.last_completed_shell = shell
             self._pl_seed()
             return shell
 
@@ -929,9 +936,13 @@ class FrontEnd:
         res_l, flow, T, affab, ok, counts = [np.asarray(p) for p in pulled]
         # one-trace-stale immature counts (dispatch-time snapshot); the
         # marginalization flagging they feed is a density heuristic
-        # (FrontEndMarginalize.cpp:100-107), one trace does not move it
+        # (FrontEndMarginalize.cpp:100-107), one trace does not move it.
+        # Key them by the DISPATCH-time immatures identity so the staleness
+        # guard in _make_keyframe stays truthful: if a trace ran between
+        # dispatch and consume, _make_keyframe falls back to an explicit
+        # counts pull instead of silently using stale numbers (ADVICE r3)
         self._track_imm_counts = counts
-        self._track_imm_counts_key = self.immatures
+        self._track_imm_counts_key = inf["counts_key"]
 
         # thr from the CURRENT last_coarse_rmse (= frame N-2's r0, exactly
         # the synchronous semantics; 1e9 right after a KF, also matching)
@@ -990,6 +1001,7 @@ class FrontEnd:
             flushed = True
         else:
             self._make_non_keyframe(shell, inf["pyr"])
+        self.last_completed_shell = shell
         return flushed or self.is_lost or self.init_failed
 
     def _pl_retrack(self, inf):
@@ -1019,6 +1031,7 @@ class FrontEnd:
             self.template_ref_exposure,
             jnp.float32(max(inf["shell"].exposure, 1e-6)))
         counts_dev = jnp.sum(self.immatures.valid, axis=1)
+        inf["counts_key"] = self.immatures   # retrack-time snapshot identity
         inf["ref_slot"] = self.template_kf_slot
         inf["ref_kf_id"] = int(self._views_np()[4][self.template_kf_slot])
         inf["T_w_ref"] = T_w_ref
@@ -1074,6 +1087,15 @@ class FrontEnd:
                           jnp.asarray(Tp, jnp.float32), aff)
 
     def _pl_reset(self):
+        # A just-dispatched in-flight frame is dropped on lost/init-failure
+        # (detection is one frame late in pipelined mode, and the successor
+        # frame's image never reaches the reinitialized frontend — the
+        # documented pipelined deviation). Pop its placeholder shell so the
+        # trajectory carries no bogus row (ADVICE r3, frontend.py:895).
+        inf = self._pl_inflight
+        if inf is not None and self.all_frames and \
+                self.all_frames[-1] is inf["shell"]:
+            self.all_frames.pop()
         self._pl_inflight = None
         self._pl_state = None
 

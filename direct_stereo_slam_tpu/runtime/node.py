@@ -44,6 +44,7 @@ class SLAMNode:
                                  timers=self.timers)
         self.incoming_id = 0
         self.current_timestamp = -1.0
+        self._last_published_shell = None
 
         # live viewer + debug observability (PangolinLoopViewer /
         # goStepByStep / idepth-jet equivalents; cfg.runtime flags)
@@ -98,9 +99,18 @@ class SLAMNode:
             )
         self.incoming_id += 1
 
-        if self.viewer is not None:
-            self.viewer.publish_cam_pose(shell.T_wc)
-            if shell.is_kf and self.frontend.template is not None:
+        # Viewer/debug read the newest FULLY-PROCESSED shell: in pipelined
+        # mode the returned shell is in flight (placeholder pose, is_kf set
+        # only at consume one frame later); last_completed_shell is the
+        # frame whose pose/KF status are final (ADVICE r3)
+        done = self.frontend.last_completed_shell
+        fresh = done is not None and done is not self._last_published_shell
+        if fresh:
+            self._last_published_shell = done
+        rt = self.cfg.runtime
+        if self.viewer is not None and fresh:
+            self.viewer.publish_cam_pose(done.T_wc)
+            if done.is_kf and self.frontend.template is not None:
                 # live KF depth pane (the reference viewer's pushDepthImage
                 # path); costs one bundled template pull per KF, viewer
                 # opt-in only
@@ -108,14 +118,13 @@ class SLAMNode:
                 fe = self.frontend
                 self.viewer.publish_depth_image(render_template_idepth(
                     fe.template, fe.pyramids.get(fe.template_kf_slot)))
-        rt = self.cfg.runtime
-        if rt.debug_dump_dir and self.frontend.template is not None:
+        if rt.debug_dump_dir and fresh and self.frontend.template is not None:
             from ..viz.debug import (
                 dump_template_idepth, dump_tracking_residual,
                 dump_window_stitch)
             import math as _math
             fe = self.frontend
-            if shell.is_kf:
+            if done.is_kf:
                 kf_id = fe.num_kfs - 1
                 slot = fe.template_kf_slot
                 dump_template_idepth(
@@ -123,18 +132,23 @@ class SLAMNode:
                     fe.pyramids.get(slot))
                 # window stitch (FrontEndDebugStuff.cpp:34-310)
                 dump_window_stitch(rt.debug_dump_dir, kf_id, fe)
-            elif getattr(shell, "_T_ref_new", None) is not None:
+            elif (done is shell
+                  and getattr(done, "_T_ref_new", None) is not None):
                 # residual image of the accepted tracking pose against the
                 # (unchanged) template (TrackerAndScaler.cpp:730-734);
-                # skipped on KF frames, whose template was just rebuilt
+                # skipped on KF frames, whose template was just rebuilt.
+                # Needs the frame's own image, so it only runs when the
+                # completed shell IS this call's frame (synchronous mode);
+                # pipelined mode skips it (the completed frame's raw image
+                # is no longer held)
                 ra = fe.template_ref_aff_np
-                a_rel = _math.exp(shell.aff[0] - ra[0]) * (
-                    shell.exposure / max(fe.template_ref_exposure_np, 1e-9))
-                b_rel = shell.aff[1] - a_rel * ra[1]
+                a_rel = _math.exp(done.aff[0] - ra[0]) * (
+                    done.exposure / max(fe.template_ref_exposure_np, 1e-9))
+                b_rel = done.aff[1] - a_rel * ra[1]
                 dump_tracking_residual(
                     rt.debug_dump_dir, self.incoming_id - 1,
                     np.asarray(img0), fe.template, self.intr0,
-                    np.asarray(shell._T_ref_new), a_rel, b_rel)
+                    np.asarray(done._T_ref_new), a_rel, b_rel)
         if rt.step_by_step:
             # goStepByStep (FrontEnd.cpp:689-700): block until Enter
             input(f"[step] frame {self.incoming_id - 1} "

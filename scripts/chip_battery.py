@@ -20,10 +20,13 @@ Run:  python scripts/chip_battery.py [section ...]   (default: all)
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def emit(section, **kw):
@@ -122,7 +125,10 @@ def bench_track(jax):
         return track_candidate(tuple(pyr.data), tmpl, intr, cfg, T0,
                                zero, zero, one, one)
 
-    img = f1["img0"]
+    # pre-commit the image to the device: the section measures device
+    # compute, not the tunnel's ~40 ms host->device image transfer
+    img = jax.device_put(jnp.asarray(f1["img0"]))
+    img.block_until_ready()
     T0 = jnp.eye(4)
     emit("track", pyramid_ms=round(_t(lambda: pyr_only(img)), 3),
          frame_step_ms=round(_t(lambda: frame_step(img, T0)), 3))
@@ -137,13 +143,14 @@ def bench_trace(jax):
     f0, f1 = ds.frame(0), ds.frame(1)
     pyr = build_pyramid(f1["img0"], LVLS)
     planes = pyr.data[0]
-    S = cfg.ba.n_slots if hasattr(cfg.ba, "n_slots") else 8
+    S = cfg.ba.max_frames + 1
     NI = cfg.ba.max_immature_per_frame
 
     # realistic candidate sets: select on the real image
-    from direct_stereo_slam_tpu.ops.select import select_pixels
+    from direct_stereo_slam_tpu.ops.select import make_selection_map
     pyr0 = build_pyramid(f0["img0"], LVLS)
-    sel, _ = select_pixels(pyr0, cfg, density=NI)
+    sel, _ = make_selection_map(
+        pyr0.abs_grad[0], pyr0.abs_grad[1], pyr0.abs_grad[2], 3, cfg)
     pts1 = immature.create_points(pyr0.data[0], sel, NI)
     batch = immature.empty_batch(S, NI)
     for s in range(S):
@@ -188,18 +195,27 @@ def bench_ba(jax):
         pyr = build_pyramid(f["img0"], LVLS)
         T = np.eye(4, dtype=np.float32)
         T[2, 3] = -0.1 * s
-        state = ba.add_frame(state, s, pyr.data[0], T, np.zeros(2), 1.0)
+        state = ba.add_frame(state, s, s, T, np.zeros(2), 1.0, pyr.data[0])
         us = rng.uniform(3, W - 4, NPP).astype(np.float32)
         vs = rng.uniform(3, H - 4, NPP).astype(np.float32)
         dep = np.asarray(f["depth0"])[vs.astype(int), us.astype(int)]
+        from direct_stereo_slam_tpu.ops.interp import bilinear_gather
+        from direct_stereo_slam_tpu.config import PATTERN_OFFSETS
+        du = np.asarray([o[0] for o in PATTERN_OFFSETS], np.float32)
+        dv = np.asarray([o[1] for o in PATTERN_OFFSETS], np.float32)
+        color = bilinear_gather(
+            pyr.data[0], jnp.asarray(us[:, None] + du),
+            jnp.asarray(vs[:, None] + dv))[..., 0]
         state = ba.add_points(
-            state, np.arange(NPP) + s * NPP, s,
-            us, vs, 1.0 / dep, np.ones(NPP, np.float32))
+            state, jnp.arange(NPP) + s * NPP, s,
+            jnp.asarray(us), jnp.asarray(vs), jnp.asarray(1.0 / dep),
+            color, jnp.ones((NPP, 8), jnp.float32),
+            jnp.ones(NPP, bool))
 
     lin_ms = _t(lambda: ba.linearize(state, cfg), n=10)
     out = {"linearize_ms": round(lin_ms, 3)}
     for it in (1, 2, 4, 6):
-        ms = _t(lambda it=it: ba.optimize(state, cfg, it)[0].T_cw, n=5)
+        ms = _t(lambda it=it: ba.optimize(state, cfg, it)[0].delta, n=5)
         out[f"optimize_{it}it_ms"] = round(ms, 3)
     emit("ba", NS=NS, NP=NS * NPP, **out)
 
