@@ -122,6 +122,17 @@ def bench_hot_path(jax):
 
     f0 = ds.frame(0)
     f1 = ds.frame(1)
+    # The synthetic renderer runs on the HOST CPU backend (a device-side
+    # run degrades the whole session ~30x; io/synthetic.py). Its frames
+    # must be explicitly committed to the TPU before timing: a CPU-backend
+    # operand re-transfers on EVERY dispatch, and on the remote tunnel
+    # that is ~45 ms per 1.8 MB image — r4 measured the same track program
+    # at 10.3 ms with a device-resident image vs 57 ms without. Co-located
+    # hosts pay sub-ms PCIe for this, hidden by the io/native prefetcher.
+    dev = jax.devices()[0]
+    f0 = {k: jax.device_put(v, dev) for k, v in f0.items()}
+    f1 = {k: jax.device_put(v, dev) for k, v in f1.items()}
+    jax.block_until_ready(f1["img0"])
     rng = np.random.RandomState(0)
     us = rng.uniform(3, W - 4, N_POINTS).astype(np.float32)
     vs = rng.uniform(3, H - 4, N_POINTS).astype(np.float32)
@@ -311,11 +322,18 @@ def bench_e2e(jax, n_frames=40):
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
                                    cfg.tracker.pyr_levels)
 
-    # pre-render all frames (device arrays; rendering stays untimed)
+    # pre-render all frames and COMMIT them to the TPU (the renderer runs
+    # on the host CPU backend; an uncommitted operand re-transfers over
+    # the tunnel on every dispatch — ~90 ms/frame of pure testbed
+    # artifact. Co-located deployments hide the sub-ms PCIe copy behind
+    # the io/native prefetch queue.)
+    dev = jax.devices()[0]
     frames = []
     for i in range(n_frames):
         f = ds.frame(i)
-        frames.append((f["img0"], f["img1"], float(f["timestamp"])))
+        frames.append((jax.device_put(f["img0"], dev),
+                       jax.device_put(f["img1"], dev),
+                       float(f["timestamp"])))
     jax.block_until_ready(frames[-1][0])
 
     run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)
@@ -411,10 +429,13 @@ def bench_loop(jax, n_frames=100):
     K = ds.K
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
                                    cfg.tracker.pyr_levels)
+    dev = jax.devices()[0]
     frames = []
     for i in range(n_frames):
         f = ds.frame(i)
-        frames.append((f["img0"], f["img1"], float(f["timestamp"])))
+        frames.append((jax.device_put(f["img0"], dev),
+                       jax.device_put(f["img1"], dev),
+                       float(f["timestamp"])))
     jax.block_until_ready(frames[-1][0])
 
     run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)

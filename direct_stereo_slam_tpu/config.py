@@ -157,6 +157,13 @@ class TraceConfig:
     trace_gn_threshold: float = 0.1
     min_trace_quality: float = 3.0         # setting_minTraceQuality
     outlier_th: float = 12.0 * 12.0
+    # Max lanes paying the epipolar SEARCH per trace dispatch (the window's
+    # other ~7x1024 lanes are converged/OOB/skipped in steady state and the
+    # fixed-shape search cost 31 ns/sample x 64 steps x 8 pattern on chip —
+    # 170 ms/frame before compaction, r4). Search-needing lanes beyond the
+    # budget keep their previous interval one frame and trace next frame;
+    # overflow is counted in the timing report (trace_overflow).
+    search_budget: int = 2048
 
 
 @dataclass(frozen=True)

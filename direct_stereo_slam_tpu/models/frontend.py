@@ -391,6 +391,9 @@ class FrontEnd:
         self.pot = 5
 
         self.marginalized_queue: List[MarginalizedKF] = []
+        # device-accumulated count of trace-search lanes past
+        # cfg.trace.search_budget (pulled once, at the timing report)
+        self._trace_overflow_acc = None
         self.timers = timers if timers is not None else StageTimers()
         # deferred keyframe-tail commit (see _finalize_keyframe)
         self._pending_finalize = None
@@ -1175,11 +1178,16 @@ class FrontEnd:
                 np.clip(new_aff[0] - aff_all[slot, 0], -20.0, 20.0)) * (
                 new_exposure / max(self.slot_exposure.get(slot, 1.0), 1e-9))
             b_rel[slot] = new_aff[1] - a_rel[slot] * aff_all[slot, 1]
-        self.immatures = immature.trace_points_all(
+        self.immatures, n_search, n_overflow = immature.trace_points_all_compact(
             self.immatures, target_planes,
             jnp.asarray(KRKi), jnp.asarray(Kt),
             jnp.asarray(a_rel), jnp.asarray(b_rel), self.cfg,
         )
+        # no silent caps: overflowed (not-searched-this-frame) lanes are
+        # accumulated on device and surface in the timing report
+        self._trace_overflow_acc = (
+            n_overflow if self._trace_overflow_acc is None
+            else self._trace_overflow_acc + n_overflow)
 
     # ------------------------------------------------------------------
     # keyframe pipeline (FrontEnd.cpp:721-840)

@@ -464,9 +464,211 @@ def trace_points_all(
     aff_b: jnp.ndarray,           # [S]
     cfg: SLAMConfig,
 ) -> ImmaturePoints:
-    """traceOn for every window slot in ONE dispatch."""
+    """traceOn for every window slot in ONE dispatch (uncompacted
+    reference form: every lane pays the full search; kept as the
+    semantics oracle for trace_points_all_compact's equivalence test)."""
     fn = lambda p, k, t, a, b: trace_points(p, target_planes, k, t, a, b, cfg)
     return jax.vmap(fn)(pts, KRKi, Kt, aff_a, aff_b)
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def trace_points_all_compact(
+    pts: ImmaturePoints,          # stacked [S, NI]
+    target_planes: jnp.ndarray,   # [H, W, 3]
+    KRKi: jnp.ndarray,            # [S, 3, 3]
+    Kt: jnp.ndarray,              # [S, 3]
+    aff_a: jnp.ndarray,           # [S]
+    aff_b: jnp.ndarray,           # [S]
+    cfg: SLAMConfig,
+    num_steps: int = NUM_TRACE_STEPS,
+) -> Tuple[ImmaturePoints, jnp.ndarray, jnp.ndarray]:
+    """traceOn for the whole window with DEVICE-SIDE SEARCH COMPACTION.
+
+    The fixed-shape form (trace_points_all) pays the 64-step epipolar
+    search for all S x NI lanes every frame — 170 ms/frame at frontend
+    shapes on a v5e chip (r4 battery), although in steady state ~80% of
+    lanes are converged (interval below the slack gate), OOB, or invalid:
+    DSO's traceOn (ImmaturePoint.cpp) early-returns on those without
+    touching the image. Here:
+
+      phase 1 (full [S, NI], no image access): epipolar geometry from the
+        idepth interval, the OOB/SKIPPED/BADCONDITION gates, and the
+        search mask;
+      phase 2: search-needing lanes are compacted (row-major lane order)
+        into a fixed ``cfg.trace.search_budget`` subset, which alone pays
+        the uniform-grid sample energy + GN refinement + interval update;
+      phase 3: results scatter back into the [S, NI] arrays.
+
+    Lanes failing a phase-1 gate take their gate status but keep their
+    previous quality/interval — this is EXACTLY DSO's early-return
+    behavior (the uncompacted form updated quality from a search it ran
+    anyway, a minor deviation removed here). Search-needing lanes beyond
+    the budget keep their previous state wholesale and trace on a later
+    frame; n_overflow reports them (0 in steady state — fresh candidates
+    arrive ~1024/KF against the 2048 default).
+
+    Returns (updated points, n_searched, n_overflow)."""
+    S, NI = pts.u.shape
+    H, W = target_planes.shape[:2]
+    tc = cfg.trace
+    budget = min(tc.search_budget, S * NI)
+    max_pix_search = tc.max_pix_search_frac * (H + W)
+
+    # ---- phase 1: geometry + gates on all [S, NI] lanes ------------------
+    traceable = pts.valid & (pts.status != IPS_OOB)
+    xyz = jnp.stack([pts.u, pts.v, jnp.ones_like(pts.u)], -1)   # [S, NI, 3]
+    pr = jnp.einsum("sij,snj->sni", KRKi, xyz, precision=_HI)
+    ptp_min = pr + Kt[:, None, :] * pts.idepth_min[..., None]
+    u_min = ptp_min[..., 0] / ptp_min[..., 2]
+    v_min = ptp_min[..., 1] / ptp_min[..., 2]
+    oob_min = ~((u_min > 4) & (v_min > 4) & (u_min < W - 5) & (v_min < H - 5))
+
+    have_max = jnp.isfinite(pts.idepth_max)
+    id_for_max = jnp.where(have_max, pts.idepth_max, 0.01)
+    ptp_max = pr + Kt[:, None, :] * id_for_max[..., None]
+    u_max = ptp_max[..., 0] / ptp_max[..., 2]
+    v_max = ptp_max[..., 1] / ptp_max[..., 2]
+    d_u = u_max - u_min
+    d_v = v_max - v_min
+    dist_full = jnp.sqrt(d_u * d_u + d_v * d_v)
+    dirx = d_u / jnp.maximum(dist_full, 1e-9)
+    diry = d_v / jnp.maximum(dist_full, 1e-9)
+    dist = jnp.where(have_max, jnp.minimum(dist_full, max_pix_search),
+                     max_pix_search)
+    u_max = u_min + dirx * dist
+    v_max = v_min + diry * dist
+    oob_max = ~((u_max > 4) & (v_max > 4) & (u_max < W - 5) & (v_max < H - 5))
+
+    gxx, gxy, gyy = pts.grad_h[..., 0], pts.grad_h[..., 1], pts.grad_h[..., 2]
+    a = dirx * dirx * gxx + 2 * dirx * diry * gxy + diry * diry * gyy
+    b = diry * diry * gxx - 2 * dirx * diry * gxy + dirx * dirx * gyy
+    error_px = 0.2 + 0.2 * (a + b) / jnp.maximum(a, 1e-9)
+    badcond = error_px > 10.0
+    error_px = jnp.minimum(error_px, 10.0)
+    skipped = (dist < tc.trace_slack_interval) | (
+        error_px * tc.trace_min_improvement_factor > dist)
+
+    search = traceable & ~oob_min & ~oob_max & ~skipped & ~badcond
+    n_search = jnp.sum(search.astype(jnp.int32))
+    n_overflow = jnp.maximum(n_search - budget, 0)
+
+    # gate statuses; searched lanes are overwritten by the scatter below,
+    # overflow lanes fall through to their previous status
+    status1 = jnp.where(
+        ~traceable, pts.status,
+        jnp.where(oob_min | oob_max, IPS_OOB,
+        jnp.where(skipped, IPS_SKIPPED,
+        jnp.where(badcond, IPS_BADCONDITION, pts.status))))
+
+    # ---- phase 2: compact + search ---------------------------------------
+    flat = lambda arr: arr.reshape((S * NI,) + arr.shape[2:])
+    (cidx,) = jnp.nonzero(flat(search), size=budget, fill_value=S * NI)
+    lane_ok = cidx < S * NI
+    idx_c = jnp.minimum(cidx, S * NI - 1)
+    slot = idx_c // NI
+    take = lambda arr: flat(arr)[idx_c]
+
+    c_u_min, c_v_min = take(u_min), take(v_min)
+    c_dirx, c_diry = take(dirx), take(diry)
+    c_dist = take(dist)
+    c_err = take(error_px)
+    c_color = take(pts.color)                       # [B, 8]
+    c_pr = take(pr)                                 # [B, 3]
+    c_Kt = Kt[slot]                                 # [B, 3]
+    c_a = aff_a[slot][:, None]
+    c_b = aff_b[slot][:, None]
+
+    du, dv = _pattern()
+    rdu_s = KRKi[:, 0, 0, None] * du[None] + KRKi[:, 0, 1, None] * dv[None]
+    rdv_s = KRKi[:, 1, 0, None] * du[None] + KRKi[:, 1, 1, None] * dv[None]
+    c_rdu = rdu_s[slot]                             # [B, 8]
+    c_rdv = rdv_s[slot]
+
+    t = jnp.arange(num_steps, dtype=jnp.float32)[None, :]           # [1, T]
+    step_len = jnp.maximum(c_dist, 1e-6)[:, None] / (num_steps - 1)
+    px = c_u_min[:, None] + c_dirx[:, None] * t * step_len          # [B, T]
+    py = c_v_min[:, None] + c_diry[:, None] * t * step_len
+    s_ok = (px > 3) & (py > 3) & (px < W - 4) & (py < H - 4)
+    spx = px[..., None] + c_rdu[:, None, :]                         # [B, T, 8]
+    spy = py[..., None] + c_rdv[:, None, :]
+    hit = bilinear_take_plane(target_planes[..., 0], spx, spy)
+    res = hit - (c_a[:, :, None] * c_color[:, None, :] + c_b[:, :, None])
+    energy = jnp.sum(res * res, axis=-1)                            # [B, T]
+    energy = jnp.where(s_ok, energy, jnp.inf)
+
+    best_i = jnp.argmin(energy, axis=-1)
+    best_e = jnp.min(energy, axis=-1)
+    far = jnp.abs(t - best_i[:, None].astype(jnp.float32)) * step_len \
+        >= MIN_TEST_RADIUS
+    second_e = jnp.min(jnp.where(far, energy, jnp.inf), axis=-1)
+    new_quality = jnp.where(
+        jnp.isfinite(second_e), second_e / jnp.maximum(best_e, 1e-9), 1e4)
+    c_quality = jnp.where(
+        c_dist > 3.0, new_quality,
+        jnp.minimum(take(pts.quality), new_quality))
+
+    best_u = c_u_min + c_dirx * step_len[:, 0] * best_i.astype(jnp.float32)
+    best_v = c_v_min + c_diry * step_len[:, 0] * best_i.astype(jnp.float32)
+
+    def gn_body(_, carry):
+        bu, bv, be = carry
+        gpx = bu[:, None] + c_rdu
+        gpy = bv[:, None] + c_rdv
+        hit_i = bilinear_take_plane(target_planes[..., 0], gpx, gpy)
+        hit_dx = bilinear_take_plane(target_planes[..., 1], gpx, gpy)
+        hit_dy = bilinear_take_plane(target_planes[..., 2], gpx, gpy)
+        r = hit_i - (c_a * c_color + c_b)
+        gdotd = hit_dx * c_dirx[:, None] + hit_dy * c_diry[:, None]
+        Hs = jnp.sum(gdotd * gdotd, axis=-1)
+        bs = jnp.sum(r * gdotd, axis=-1)
+        stp = jnp.clip(-bs / jnp.maximum(Hs, 1e-9), -0.5, 0.5) \
+            * tc.trace_step_size
+        nu = bu + stp * c_dirx
+        nv = bv + stp * c_diry
+        ne = jnp.sum(
+            (bilinear_take_plane(target_planes[..., 0],
+                                 nu[:, None] + c_rdu, nv[:, None] + c_rdv)
+             - (c_a * c_color + c_b)) ** 2, axis=-1)
+        better = ne < be
+        return (jnp.where(better, nu, bu), jnp.where(better, nv, bv),
+                jnp.where(better, ne, be))
+
+    best_u, best_v, best_e = jax.lax.fori_loop(
+        0, tc.trace_gn_iterations, gn_body, (best_u, best_v, best_e))
+
+    energy_th = 8.0 * 12.0 * 12.0 * tc.trace_extra_slack_on_th
+    outlier = best_e > energy_th
+
+    use_x = c_dirx * c_dirx > c_diry * c_diry
+
+    def id_from_px(uu, vv):
+        idx_ = (c_pr[:, 2] * uu - c_pr[:, 0]) / jnp.maximum(
+            jnp.abs(c_Kt[:, 0] - c_Kt[:, 2] * uu), 1e-12) \
+            * jnp.sign(c_Kt[:, 0] - c_Kt[:, 2] * uu)
+        idy_ = (c_pr[:, 2] * vv - c_pr[:, 1]) / jnp.maximum(
+            jnp.abs(c_Kt[:, 1] - c_Kt[:, 2] * vv), 1e-12) \
+            * jnp.sign(c_Kt[:, 1] - c_Kt[:, 2] * vv)
+        return jnp.where(use_x, idx_, idy_)
+
+    id_lo = id_from_px(best_u - c_err * c_dirx, best_v - c_err * c_diry)
+    id_hi = id_from_px(best_u + c_err * c_dirx, best_v + c_err * c_diry)
+    new_min = jnp.minimum(id_lo, id_hi)
+    new_max = jnp.maximum(id_lo, id_hi)
+
+    # ---- phase 3: scatter back --------------------------------------------
+    good_c = lane_ok & ~outlier
+    scat = lambda dst, val, ok: flat(dst).at[
+        jnp.where(ok, cidx, S * NI)].set(val, mode="drop").reshape(S, NI)
+
+    status = scat(status1,
+                  jnp.where(outlier, IPS_OUTLIER, IPS_GOOD), lane_ok)
+    return pts._replace(
+        idepth_min=scat(pts.idepth_min, new_min, good_c),
+        idepth_max=scat(pts.idepth_max, new_max, good_c),
+        quality=scat(pts.quality, c_quality, lane_ok),
+        status=status,
+        pixel_interval=scat(pts.pixel_interval, 2.0 * c_err, good_c),
+    ), n_search, n_overflow
 
 
 @partial(jax.jit, static_argnums=(8,))

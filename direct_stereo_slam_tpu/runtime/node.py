@@ -186,7 +186,14 @@ class SLAMNode:
             "pts_generation", "sc_generation", "search_ringkey", "search_sc",
             "direct_est", "icp", "pose_graph_opt", "per_frame",
         ]
-        return self.timers.report([n for n in names if n in self.timers.times])
+        rep = self.timers.report(
+            [n for n in names if n in self.timers.times])
+        acc = getattr(self.frontend, "_trace_overflow_acc", None)
+        if acc is not None:
+            # lanes the trace-search budget deferred to a later frame
+            # (cfg.trace.search_budget); nonzero = the cap actually bound
+            rep += f"\ntrace_overflow {int(acc)}"
+        return rep
 
 
 def write_trajectory(path: str, rows):

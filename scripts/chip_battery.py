@@ -174,8 +174,20 @@ def bench_trace(jax):
                                        cfg)
     ms_conv = _t(lambda: immature.trace_points_all(
         batch2, planes, KRKi, Kt, ones, zeros, cfg), n=10)
+
+    # compacted form (the production path): search-needing lanes only
+    ms_c_fresh = _t(lambda: immature.trace_points_all_compact(
+        batch, planes, KRKi, Kt, ones, zeros, cfg), n=10)
+    ms_c_conv = _t(lambda: immature.trace_points_all_compact(
+        batch2, planes, KRKi, Kt, ones, zeros, cfg), n=10)
+    _, n_search, n_over = immature.trace_points_all_compact(
+        batch2, planes, KRKi, Kt, ones, zeros, cfg)
     emit("trace", S=S, NI=NI, fresh_ms=round(ms_fresh, 3),
-         converged_ms=round(ms_conv, 3))
+         converged_ms=round(ms_conv, 3),
+         compact_fresh_ms=round(ms_c_fresh, 3),
+         compact_converged_ms=round(ms_c_conv, 3),
+         compact_budget=cfg.trace.search_budget,
+         converged_n_search=int(n_search), converged_overflow=int(n_over))
 
 
 def bench_ba(jax):
@@ -218,6 +230,87 @@ def bench_ba(jax):
         ms = _t(lambda it=it: ba.optimize(state, cfg, it)[0].delta, n=5)
         out[f"optimize_{it}it_ms"] = round(ms, 3)
     emit("ba", NS=NS, NP=NS * NPP, **out)
+    bench_ba.last = (state, cfg, intr, W, H, LVLS)
+
+
+def bench_template(jax):
+    """Per-KF template chain: ba.template_inputs + build_template (the
+    'template' stage, 64.6 ms/event sync in BENCH_local_r3a)."""
+    import jax.numpy as jnp
+    from direct_stereo_slam_tpu.models import ba
+    from direct_stereo_slam_tpu.models.depth_template import (
+        build_template, default_budgets)
+    from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
+
+    state, cfg, intr, W, H, LVLS = bench_ba.last
+    budgets = default_budgets(W, H, LVLS)
+    img = build_pyramid(
+        jax.device_put(jnp.zeros((H, W), jnp.float32)), LVLS).data[0][..., 0]
+
+    ti_ms = _t(lambda: ba.template_inputs(state, cfg, jnp.int32(0)), n=10)
+    ti = ba.template_inputs(state, cfg, jnp.int32(0))
+
+    bt = jax.jit(lambda ti: build_template(
+        ti[0], ti[1], ti[2], ti[3], img, LVLS, budgets, valid=ti[4]))
+    bt_ms = _t(lambda: bt(ti), n=10)
+    emit("template", template_inputs_ms=round(ti_ms, 3),
+         build_template_ms=round(bt_ms, 3))
+
+
+def bench_activate(jax):
+    """Per-KF activation chain (_gate_compact_activate + allocator +
+    insert), at frontend shapes; 92.8 ms/event sync in BENCH_local_r3a."""
+    import jax.numpy as jnp
+    from direct_stereo_slam_tpu.models import ba, immature
+    from direct_stereo_slam_tpu.models.frontend import (
+        _allocate_candidates, _gate_compact_activate, _halfres_distance_map,
+        _insert_candidates_all)
+    from direct_stereo_slam_tpu.ops.pyramid import build_pyramid
+    from direct_stereo_slam_tpu.ops.select import make_selection_map
+
+    state, cfg, intr, W, H, LVLS = bench_ba.last
+    ds, _, _, _, _, _ = _build_hot(jax)
+    S = cfg.ba.max_frames + 1
+    NI = cfg.ba.max_immature_per_frame
+    f0 = ds.frame(0)
+    pyr0 = build_pyramid(jax.device_put(f0["img0"]), LVLS)
+    sel, _ = make_selection_map(
+        pyr0.abs_grad[0], pyr0.abs_grad[1], pyr0.abs_grad[2], 3, cfg)
+    pts = immature.create_points(pyr0.data[0], sel, NI)
+    # traced-interval candidates so the gates pass realistically
+    pts = pts._replace(
+        idepth_min=jnp.maximum(pts.idepth_min, 0.05),
+        idepth_max=jnp.full((NI,), 0.4, jnp.float32),
+        status=jnp.full((NI,), immature.IPS_GOOD, jnp.int32))
+    batch = immature.empty_batch(S, NI)
+    for s in range(S - 1):
+        batch = immature.set_slot(batch, s, pts)
+
+    K1 = jnp.asarray(np.asarray(intr.K(1)), jnp.float32)
+    h2, w2 = intr.h[1], intr.w[1]
+    dist_map = _halfres_distance_map(state, jnp.int32(S - 1), K1, h2, w2)
+    KRKi1 = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (S, 1, 1))
+    Kt1 = jnp.tile(jnp.asarray([[0.2, 0.0, 0.0]], jnp.float32), (S, 1))
+    hf = jnp.zeros(S, bool)
+    views = ba.current_views(state)
+
+    def chain():
+        ok, idep, lane, drop = _gate_compact_activate(
+            batch, dist_map, KRKi1, Kt1, jnp.float32(2.0), hf,
+            state.images, state.frame_valid, views[0], views[1], views[2],
+            state.exposure, cfg, w2, h2, cfg.ba.act_budget)
+        part = jnp.ones(S, bool)
+        alloc = _allocate_candidates(ok, lane, drop, state.p_valid, part,
+                                     cfg.ba.max_points_per_frame)
+        st2 = _insert_candidates_all(state, batch, idep, alloc[0], alloc[1],
+                                     alloc[2], alloc[3], alloc[5], alloc[4])
+        return st2.p_valid
+
+    dm_ms = _t(lambda: _halfres_distance_map(
+        state, jnp.int32(S - 1), K1, h2, w2), n=10)
+    emit("activate", dist_map_ms=round(dm_ms, 3),
+         chain_ms=round(_t(chain, n=10), 3),
+         act_budget=cfg.ba.act_budget)
 
 
 def bench_e2e_ab(jax, n_frames=40):
@@ -229,7 +322,9 @@ def bench_e2e_ab(jax, n_frames=40):
     ds, cfg, intr, W, H, LVLS = _build_hot(jax)
     ds = SyntheticStereoDataset(n_frames=n_frames, width=W, height=H,
                                 speed=0.4)
-    frames = [(f["img0"], f["img1"], float(f["timestamp"]))
+    dev = jax.devices()[0]
+    frames = [(jax.device_put(f["img0"], dev), jax.device_put(f["img1"], dev),
+               float(f["timestamp"]))
               for f in (ds.frame(i) for i in range(n_frames))]
     jax.block_until_ready(frames[-1][0])
 
@@ -253,11 +348,21 @@ def bench_e2e_ab(jax, n_frames=40):
              per_frame_ms=round(1000 * min(dts) / n_frames, 2))
 
 
+def _needs_ba(fn):
+    def wrapped(jax):
+        if not hasattr(bench_ba, "last"):
+            bench_ba(jax)
+        return fn(jax)
+    return wrapped
+
+
 SECTIONS = {
     "dispatch": diag_dispatch,
     "track": bench_track,
     "trace": bench_trace,
     "ba": bench_ba,
+    "template": _needs_ba(bench_template),
+    "activate": _needs_ba(bench_activate),
     "e2e_ab": bench_e2e_ab,
 }
 

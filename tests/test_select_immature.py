@@ -129,6 +129,81 @@ class TestTraceActivation:
             assert good.sum() > 30
         assert widths[1] <= widths[0] * 1.5  # interval stays bounded/shrinks
 
+    def test_compact_trace_matches_full(self):
+        """trace_points_all_compact vs the uncompacted oracle on a real
+        window shape: searched lanes agree to float tolerance; lanes
+        failing a phase-1 gate take the same gate status but keep previous
+        quality/interval (DSO's early-return semantics)."""
+        import dataclasses
+        import jax
+
+        ds, cfg = setup()
+        f0, pyr0, pts = self.make_points(ds, cfg, n_budget=256)
+        S = 4
+        batch = immature.empty_batch(S, 256)
+        K = ds.K
+        Ki = np.linalg.inv(K)
+        KRKi = np.zeros((S, 3, 3), np.float32)
+        Kt = np.zeros((S, 3), np.float32)
+        rng = np.random.RandomState(3)
+        for s in range(S):
+            fi = ds.frame(min(s, 2))
+            T_th = np.linalg.inv(fi["pose_w_c0"]) @ f0["pose_w_c0"]
+            KRKi[s] = K @ T_th[:3, :3] @ Ki
+            Kt[s] = K @ T_th[:3, 3] + rng.normal(0, 0.01, 3)
+            p = pts
+            if s >= 2:   # give some slots pre-shrunk intervals + statuses
+                p = immature.trace_points(
+                    p, pyr0.data[0], jnp.asarray(KRKi[s]), jnp.asarray(Kt[s]),
+                    jnp.float32(1.0), jnp.float32(0.0), cfg)
+            batch = immature.set_slot(batch, s, p)
+        planes = build_pyramid(ds.frame(1)["img0"], 1).data[0]
+        a = jnp.ones(S, jnp.float32)
+        b = jnp.zeros(S, jnp.float32)
+
+        full = immature.trace_points_all(batch, planes, jnp.asarray(KRKi),
+                                         jnp.asarray(Kt), a, b, cfg)
+        comp, n_search, n_over = immature.trace_points_all_compact(
+            batch, planes, jnp.asarray(KRKi), jnp.asarray(Kt), a, b, cfg)
+        assert int(n_over) == 0 and int(n_search) > 50
+
+        searched = (np.asarray(comp.status) == immature.IPS_GOOD) | (
+            np.asarray(comp.status) == immature.IPS_OUTLIER)
+        # gate statuses identical everywhere
+        np.testing.assert_array_equal(np.asarray(comp.status),
+                                      np.asarray(full.status))
+        for name in ("idepth_min", "idepth_max", "quality", "pixel_interval"):
+            c = np.asarray(getattr(comp, name))[searched]
+            f = np.asarray(getattr(full, name))[searched]
+            np.testing.assert_allclose(c, f, rtol=2e-4, atol=2e-4, err_msg=name)
+        # non-searched lanes keep their previous interval
+        keep = ~searched
+        np.testing.assert_array_equal(
+            np.asarray(comp.idepth_min)[keep],
+            np.asarray(batch.idepth_min)[keep])
+        np.testing.assert_array_equal(
+            np.asarray(comp.quality)[keep], np.asarray(batch.quality)[keep])
+
+        # overflow: a tiny budget leaves exactly the tail lanes untouched
+        cfg_small = cfg.replace(trace=dataclasses.replace(
+            cfg.trace, search_budget=16))
+        comp2, ns2, nov2 = immature.trace_points_all_compact(
+            batch, planes, jnp.asarray(KRKi), jnp.asarray(Kt), a, b,
+            cfg_small)
+        assert int(nov2) == int(ns2) - 16 > 0
+        # the first 16 searched lanes (row-major) match the full-budget run
+        sflat = np.flatnonzero(np.asarray(
+            (comp.status == immature.IPS_GOOD)
+            | (comp.status == immature.IPS_OUTLIER)).reshape(-1))
+        first = sflat[:16]
+        np.testing.assert_allclose(
+            np.asarray(comp2.idepth_min).reshape(-1)[first],
+            np.asarray(comp.idepth_min).reshape(-1)[first], rtol=1e-6)
+        rest = sflat[16:]
+        np.testing.assert_array_equal(
+            np.asarray(comp2.idepth_min).reshape(-1)[rest],
+            np.asarray(batch.idepth_min).reshape(-1)[rest])
+
     def test_activation(self):
         ds, cfg = setup()
         f0, pyr0, pts = self.make_points(ds, cfg)
