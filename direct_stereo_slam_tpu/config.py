@@ -127,6 +127,10 @@ class BAConfig:
     marg_weight_fac: float = 0.25          # setting_margWeightFac = 0.5^2
     min_idepth_h_act: float = 100.0        # setting_minIdepthH_act
     min_idepth_h_marg: float = 50.0        # setting_minIdepthH_marg
+    # isOOB / isInlierNew thresholds (DSO HessianBlocks.h, consumed by
+    # flagPointsForRemoval, FrontEnd.cpp:538-541)
+    min_good_active_res_for_marg: int = 3  # setting_minGoodActiveResForMarg
+    min_good_res_for_marg: int = 4         # setting_minGoodResForMarg
     min_points_remaining: float = 0.05     # setting_minPointsRemaining
     max_log_aff_fac_in_window: float = 0.7  # setting_maxLogAffFacInWindow
     # fixed array budgets (TPU-first; replaces dynamic vectors)
@@ -157,6 +161,14 @@ class TraceConfig:
     trace_gn_threshold: float = 0.1
     min_trace_quality: float = 3.0         # setting_minTraceQuality
     outlier_th: float = 12.0 * 12.0
+    # Uniform sample count over the (clamped) epipolar segment in the
+    # production trace (trace_points_all_compact). DSO steps at
+    # setting_trace_stepsize = 1 px over at most maxPixSearch =
+    # 0.027 (W+H) ~ 43 px at KITTI res (~45 samples); 48 uniform samples
+    # keep spacing under 1 px at the cap, and the 3-iteration GN refine
+    # recovers sub-pixel either way. Cost is linear in the count
+    # (31 ns/sample on v5e).
+    num_steps: int = 48
     # Max lanes paying the epipolar SEARCH per trace dispatch (the window's
     # other ~7x1024 lanes are converged/OOB/skipped in steady state and the
     # fixed-shape search cost 31 ns/sample x 64 steps x 8 pattern on chip —

@@ -17,7 +17,7 @@ import math
 import queue
 import threading
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -78,6 +78,13 @@ class LoopHandler:
         self.direct_loop_count = 0
         self.icp_loop_count = 0
         self.cur_id = -1
+        # detection-funnel observability: how far each KF got through the
+        # loop stack (scan -> ringkey candidates -> SC gate -> direct/ICP),
+        # plus the best Scan-Context distance ever seen — makes "0 loops"
+        # diagnosable (recall vs verification) without a debugger
+        self.stats: Dict[str, int] = {
+            "scan": 0, "ringkey_cand": 0, "sc_pass": 0, "direct_try": 0}
+        self.min_sc_diff = float("inf")
 
         self.viewer = None            # optional LiveViewer (set by SLAMNode)
 
@@ -174,6 +181,7 @@ class LoopHandler:
             return
 
         # ---- Scan Context + retrieval (cpp:231-259) ----------------------
+        self.stats["scan"] += 1
         with self.timers.span("sc_generation"):
             sc = scancontext.generate(
                 pts_spherical, lp.lidar_range, lp.num_sectors, lp.num_rings,
@@ -192,11 +200,14 @@ class LoopHandler:
         if not candidates:
             return
 
+        self.stats["ringkey_cand"] += 1
         with self.timers.span("search_sc"):
             match_idx, sc_diff = retrieval.search_signatures(
                 sc.signature, self.signatures, candidates, lp.num_sectors)
+        self.min_sc_diff = min(self.min_sc_diff, float(sc_diff))
         if sc_diff >= lp.scan_context_thres:
             return
+        self.stats["sc_pass"] += 1
 
         matched = self.frames[match_idx]
 
@@ -233,6 +244,7 @@ class LoopHandler:
         tfm_cur_matched = tfm_icp if icp_ok else tfm_pca
         pose_error = float("inf")
         if mkf.pyr is not None and matched.pts_cam is not None and len(matched.pts_cam) >= 8:
+            self.stats["direct_try"] += 1
             with self.timers.span("direct_est"):
                 K = matched.pts_cam
                 kmax = self.cfg.loop.max_loop_points

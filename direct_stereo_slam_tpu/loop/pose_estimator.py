@@ -169,7 +169,15 @@ def estimate(
 
     pose_error = jnp.sqrt(E0 / jnp.maximum(n0, 1.0))
     total = jnp.maximum(jnp.sum(pmask.astype(jnp.float32)), 1.0)
-    inlier_ratio = 100.0 * n_in / total
+    # "inner percent" counts EVERY in-view term, saturated included — the
+    # reference's lastInners[0] is calcRes's numTermsInE, which increments
+    # for cutoff-saturated residuals too (PoseEstimator.cpp:249-257,
+    # 483-484): the gate measures VISIBILITY of the matched points in the
+    # current frame, not unsaturated-inlier fraction. Using the
+    # non-saturated count here rejected every real revisit whose overlap
+    # was partial (r4 diagnosis: 24/24 verifications failed with
+    # n_in/total at 20-60% while err was passing).
+    inlier_ratio = 100.0 * n0 / total
 
     lp = cfg.loop
     ok = (pose_error < lp.res_thres) & (inlier_ratio > lp.inner_percent)

@@ -66,6 +66,12 @@ from ..ops.interp import bilinear_gather
 
 _HI = jax.lax.Precision.HIGHEST
 
+# residual states for p_last_res (DSO ResState; NONE = no residual exists)
+RES_IN = 0
+RES_OOB = 1
+RES_OUTLIER = 2
+RES_NONE = 3
+
 
 # ---------------------------------------------------------------------------
 # state
@@ -96,6 +102,14 @@ class BAState(NamedTuple):
     p_weight: jnp.ndarray        # [NP, 8] gradient weights
     p_prior: jnp.ndarray         # [NP] idepth prior strength (init points)
     p_res_good: jnp.ndarray      # [NP, W] bool residual active mask
+    # isOOB bookkeeping (DSO PointHessian, used by flagPointsForRemoval
+    # FrontEnd.cpp:538-541): lifetime count of good residuals (+= number of
+    # active residuals at each keyframe's fix-linearization pass,
+    # FrontEndOptimize.cpp:65) and the residual states toward the newest
+    # [,0] / second-newest [,1] keyframes (lastResiduals; shifted on KF add
+    # FrontEnd.cpp:757-758, updated at the fix pass Optimize.cpp:149-152)
+    p_num_good: jnp.ndarray      # [NP] f32 lifetime good-residual count
+    p_last_res: jnp.ndarray      # [NP, 2] int32 RES_IN/OOB/OUTLIER/NONE
     # marginalization prior over [D = 4 + 8 W] ---------------------------
     HM: jnp.ndarray              # [D, D]
     bM: jnp.ndarray              # [D]
@@ -143,6 +157,8 @@ def empty_state(n_slots: int, n_points: int, h: int, w: int, calib: np.ndarray) 
         p_weight=jnp.ones((n_points, 8), jnp.float32),
         p_prior=jnp.zeros(n_points, jnp.float32),
         p_res_good=jnp.zeros((n_points, n_slots), bool),
+        p_num_good=jnp.zeros(n_points, jnp.float32),
+        p_last_res=jnp.full((n_points, 2), RES_NONE, jnp.int32),
         HM=jnp.zeros((D, D), jnp.float32),
         bM=jnp.zeros(D, jnp.float32),
     )
@@ -683,8 +699,35 @@ def _optimize_impl(state: BAState, cfg: SLAMConfig, iterations):
         (state, lin0, lam0, e0, jnp.int32(0), zv > 1.0),
     )
 
-    # the carried linearization matches the final state: no extra pass
-    state = state._replace(p_res_good=lin.pair_good)
+    # the carried linearization matches the final state: no extra pass.
+    # isOOB bookkeeping at the fix pass (FrontEndOptimize.cpp:60-66,
+    # 146-152): numGoodResiduals grows by the number of residuals active
+    # at this pass; lastResiduals toward the two newest KFs record their
+    # final states (a residual that went OOB/OUTLIER here is dropped from
+    # the active set by the p_res_good overwrite — exactly DSO's
+    # toRemove deletion — but its recorded state survives for isOOB).
+    t_idx = jnp.arange(state.num_slots)[None, :]
+    participated = (state.p_valid[:, None] & state.frame_valid[None, :]
+                    & (t_idx != state.p_host[:, None]) & state.p_res_good)
+    pair_state = jnp.where(
+        lin.pair_good, RES_IN,
+        jnp.where(lin.pair_in, RES_OUTLIER,
+                  jnp.where(participated, RES_OOB, RES_NONE)))
+    fid = jnp.where(state.frame_valid, state.frame_id, -1)
+    newest = jnp.argmax(fid)
+    fid2 = fid.at[newest].set(-1)
+    second = jnp.argmax(fid2)
+    has2 = fid2[second] >= 0
+    lr0 = jnp.where(participated[:, newest], pair_state[:, newest],
+                    state.p_last_res[:, 0])
+    lr1 = jnp.where(has2 & participated[:, second], pair_state[:, second],
+                    state.p_last_res[:, 1])
+    state = state._replace(
+        p_res_good=lin.pair_good,
+        p_num_good=state.p_num_good
+        + jnp.sum(lin.pair_good, axis=1).astype(jnp.float32),
+        p_last_res=jnp.stack([lr0, lr1], -1),
+    )
     rmse = jnp.sqrt(lin.energy / jnp.maximum(lin.num_terms, 1.0))
     return state, rmse, jnp.isfinite(lin.energy), lin
 
@@ -942,6 +985,11 @@ def add_frame(
         images=state.images.at[slot].set(image_planes),
         energy_th=state.energy_th.at[slot].set(12.0 * 12.0 * 8.0),
         p_res_good=state.p_res_good.at[:, slot].set(True),
+        # lastResiduals shift at KF add (FrontEnd.cpp:757-758): the new
+        # residual toward this frame starts IN
+        p_last_res=jnp.stack(
+            [jnp.where(state.p_valid, RES_IN, RES_NONE),
+             jnp.where(state.p_valid, state.p_last_res[:, 0], RES_NONE)], -1),
     )
 
 
@@ -976,4 +1024,9 @@ def add_points(
         p_res_good=state.p_res_good.at[idx, :].set(
             valid[:, None] & jnp.ones((1, state.num_slots), bool), mode="drop"
         ),
+        # fresh activations start with residuals toward every window frame
+        # (the dense grid above); DSO seeds lastResiduals IN toward the two
+        # newest (FrontEndOptPoint.cpp:160-171)
+        p_num_good=state.p_num_good.at[idx].set(0.0, mode="drop"),
+        p_last_res=state.p_last_res.at[idx, :].set(RES_IN, mode="drop"),
     )

@@ -267,6 +267,44 @@ def _consume_candidates(imm, consumed):
     return imm._replace(valid=imm.valid & ~consumed)
 
 
+def _flag_points_for_removal(p_valid, pid_a, n_good, Hdd, pair_good,
+                             p_num_good, p_last_res, host_flagged, flagged,
+                             cfg):
+    """flagPointsForRemoval (FrontEnd.cpp:504-583), host-side on pulled
+    bundle-4 arrays. Returns (bad, leaving, marg, drop) boolean [NP] masks:
+
+    - ``bad``: negative idepth or zero residuals -> plain drop (:533-537);
+    - isOOB (DSO HessianBlocks.h via :538): PROACTIVE removal when (a) a
+      well-established point's residual support would concentrate in
+      frames leaving the window, (b) its newest-KF residual went OOB, or
+      (c) its last two newest-KF residuals were outliers;
+    - ``leaving`` = isOOB or host flagged; isInlierNew then gates Schur
+      marginalization vs plain drop (:541-563), with the idepth-Hessian
+      bar on top.
+
+    Deviation (documented): n_good counts the bundle lin's (post-scale
+    re-evaluated) active residuals where DSO reads the fix-pass survivor
+    set; DSO also re-linearizes inlier points with resetOOB before the
+    Hessian bar — the bundle lin IS a fresh linearization, same effect."""
+    mgar = cfg.ba.min_good_active_res_for_marg
+    mgr = cfg.ba.min_good_res_for_marg
+    bad = p_valid & ((pid_a < 0) | (n_good == 0))
+    vis_in_marg = (pair_good[:, flagged].sum(1) if len(flagged)
+                   else np.zeros_like(n_good))
+    is_oob = (
+        ((n_good >= mgar) & (p_num_good > mgr + 10)
+         & (n_good - vis_in_marg < mgar))
+        | (p_last_res[:, 0] == ba.RES_OOB)
+        | ((n_good >= 2) & (p_last_res[:, 0] == ba.RES_OUTLIER)
+           & (p_last_res[:, 1] == ba.RES_OUTLIER))
+    )
+    leaving = p_valid & ~bad & (host_flagged | is_oob)
+    inlier_new = (n_good >= mgar) & (p_num_good >= mgr)
+    marg = leaving & inlier_new & (Hdd > cfg.ba.min_idepth_h_marg)
+    drop = bad | (leaving & ~marg)
+    return bad, leaving, marg, drop
+
+
 @jax.jit
 def _gather_level_colors(pyr_data, u, v):
     """Level-0 pixel coords [K] -> per-level interpolated intensity [K, L]
@@ -394,6 +432,12 @@ class FrontEnd:
         # device-accumulated count of trace-search lanes past
         # cfg.trace.search_budget (pulled once, at the timing report)
         self._trace_overflow_acc = None
+        # isOOB-removed points whose HOST stays in the window: DSO keeps
+        # them in host->pointHessiansMarginalized and exports them to the
+        # loop handler only when the host itself marginalizes
+        # (FrontEnd.cpp:554-556, LoopHandler.cpp:166-181). Keyed by slot:
+        # list of (pts_cam [K,3], colors [K,1]) accumulated per KF event.
+        self._marg_export_acc: Dict[int, list] = {}
         self.timers = timers if timers is not None else StageTimers()
         # deferred keyframe-tail commit (see _finalize_keyframe)
         self._pending_finalize = None
@@ -402,6 +446,10 @@ class FrontEnd:
         # aff_last) so benign frames never block on a host pull
         self._pl_inflight = None
         self._pl_state = None
+        # pipelined-mode observability: staged escalations and KF-flush
+        # retracks actually exercised (asserted by the long-horizon test)
+        self.pl_escalations = 0
+        self.pl_retracks = 0
         # newest FULLY-PROCESSED shell (pose/is_kf final). In pipelined
         # mode add_stereo_frame returns the in-flight shell whose pose and
         # is_kf are placeholders until consumed one frame later; viewers and
@@ -933,6 +981,7 @@ class FrontEnd:
         shell = inf["shell"]
         with self.timers.span("track"):
             if retrack:
+                self.pl_retracks += 1
                 pulled = self._pl_retrack(inf)
             else:
                 pulled = jax.device_get(inf["out"])
@@ -958,6 +1007,7 @@ class FrontEnd:
             # template (if a KF landed between dispatch and consume this is
             # the new one — the synchronous path's behavior)
             flushed = True
+            self.pl_escalations += 1
             res_np, idx, good = self._pl_escalate(inf)
             if res_np is not None:
                 T = res_np.T[idx]
@@ -1418,7 +1468,8 @@ class FrontEnd:
         bundle = (
             views_dev,
             (st.p_u, st.p_v, st.p_idepth, n_good_dev, lin.Hdd,
-             lin.pair_good, lin.pair_energy, st.p_color),
+             lin.pair_good, lin.pair_energy, st.p_color,
+             st.p_num_good, st.p_last_res),
             sel_count,
             color_gathers,
         )
@@ -1437,7 +1488,8 @@ class FrontEnd:
 
         pulled = jax.device_get(bundle)
         views = pulled[0]
-        pu_a, pv_a, pid_a, n_good, Hdd, pair_good, pair_e, p_color = pulled[1]
+        (pu_a, pv_a, pid_a, n_good, Hdd, pair_good, pair_e, p_color,
+         p_num_good, p_last_res) = pulled[1]
         got = int(pulled[2])
         colors_by_slot = pulled[3]
         p_valid, p_host = views[5], views[6]
@@ -1446,10 +1498,9 @@ class FrontEnd:
         # ---- flag + marginalize/drop points (FrontEnd.cpp:504-583) ---------
         with self.timers.span("point_marg"):
             host_flagged = np.isin(p_host, flagged)
-            bad = p_valid & ((pid_a < 0) | (n_good == 0))
-            leaving = p_valid & host_flagged & ~bad
-            marg = leaving & (Hdd > cfg.ba.min_idepth_h_marg) & (n_good >= 1)
-            drop = bad | (leaving & ~marg)
+            bad, leaving, marg, drop = _flag_points_for_removal(
+                p_valid, pid_a, n_good, Hdd, pair_good, p_num_good,
+                p_last_res, host_flagged, flagged, cfg)
             removed = marg | drop
             for s in set(p_host[marg]):
                 self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})[
@@ -1468,7 +1519,23 @@ class FrontEnd:
             # (reference pointHessiansMarginalized, LoopHandler.cpp:166)
             # or, with densify_scans, every non-outlier point leaving the
             # window — weak-Hessian geometry still densifies the scans
-            self._last_marg_mask = leaving if cfg.loop.densify_scans else marg
+            exp_mask = leaving if cfg.loop.densify_scans else marg
+            # isOOB'd points whose host STAYS accumulate until the host
+            # marginalizes (DSO host->pointHessiansMarginalized). Colors:
+            # center intensity only (the full per-level gather rides the
+            # flagged-slot bundle; the handler pads missing levels) —
+            # documented fidelity deviation for this small subset.
+            stay = exp_mask & ~host_flagged
+            if stay.any():
+                for s in set(p_host[stay]):
+                    m = stay & (p_host == s)
+                    pid = np.maximum(pid_a[m], 1e-6)
+                    pts_cam = np.stack(
+                        [(pu_a[m] - cx0) / fx0 / pid,
+                         (pv_a[m] - cy0) / fy0 / pid, 1.0 / pid], -1)
+                    self._marg_export_acc.setdefault(int(s), []).append(
+                        (pts_cam, p_color[m][:, 4:5]))
+            self._last_marg_mask = exp_mask & host_flagged
 
         # ---- density feedback for the next KF's selection ------------------
         self.pot = adapt_potential(self.pot, got,
@@ -1510,6 +1577,23 @@ class FrontEnd:
                     colors = colors_by_slot[mslot][sel]     # [K, L]
                 else:
                     colors = p_color[sel][:, 4:5]
+                # merge points isOOB-removed at earlier KF events while
+                # this host stayed (accumulator; pad colors to width)
+                acc = self._marg_export_acc.pop(mslot, None)
+                if acc:
+                    acc_pts = np.concatenate([a[0] for a in acc], 0)
+                    acc_col = np.concatenate([a[1] for a in acc], 0)
+                    L = colors.shape[1] if colors.size else acc_col.shape[1]
+                    if acc_col.shape[1] < L:
+                        acc_col = np.concatenate(
+                            [acc_col] + [acc_col[:, -1:]] * (L - acc_col.shape[1]), 1)
+                    elif colors.size and colors.shape[1] < acc_col.shape[1]:
+                        colors = np.concatenate(
+                            [colors] + [colors[:, -1:]]
+                            * (acc_col.shape[1] - colors.shape[1]), 1)
+                    pts_cam = np.concatenate([pts_cam, acc_pts], 0)
+                    colors = (np.concatenate([colors, acc_col], 0)
+                              if colors.size else acc_col)
 
                 fid = int(views[4][mslot])
                 k = fid - self.prev_kf_count

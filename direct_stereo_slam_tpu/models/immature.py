@@ -480,7 +480,7 @@ def trace_points_all_compact(
     aff_a: jnp.ndarray,           # [S]
     aff_b: jnp.ndarray,           # [S]
     cfg: SLAMConfig,
-    num_steps: int = NUM_TRACE_STEPS,
+    num_steps: int = None,
 ) -> Tuple[ImmaturePoints, jnp.ndarray, jnp.ndarray]:
     """traceOn for the whole window with DEVICE-SIDE SEARCH COMPACTION.
 
@@ -511,6 +511,8 @@ def trace_points_all_compact(
     S, NI = pts.u.shape
     H, W = target_planes.shape[:2]
     tc = cfg.trace
+    if num_steps is None:
+        num_steps = tc.num_steps
     budget = min(tc.search_budget, S * NI)
     max_pix_search = tc.max_pix_search_frac * (H + W)
 

@@ -69,6 +69,13 @@ def save_frontend(path: str, fe: FrontEnd):
         _save_namedtuple(f"pyr.{slot}", pyr, arrays)
     arrays["last_marg_mask"] = np.asarray(
         getattr(fe, "_last_marg_mask", np.zeros(fe.pool, bool)))
+    # isOOB staying-host export accumulator (frontend._marg_export_acc)
+    acc_slots = []
+    for slot, entries in getattr(fe, "_marg_export_acc", {}).items():
+        acc_slots.append((int(slot), len(entries)))
+        for j, (pts, cols) in enumerate(entries):
+            arrays[f"margacc.{slot}.{j}.pts"] = pts
+            arrays[f"margacc.{slot}.{j}.cols"] = cols
 
     meta = {
         "immature_slots": sorted(fe.imm_slots),
@@ -92,6 +99,7 @@ def save_frontend(path: str, fe: FrontEnd):
         "current_min_act_dist": fe.current_min_act_dist,
         "pot": fe.pot,
         "slot_stats": {str(k): v for k, v in fe.slot_stats.items()},
+        "marg_acc_slots": acc_slots,
         "all_frames": [
             {"incoming_id": s.incoming_id, "timestamp": s.timestamp,
              "T_wc": np.asarray(s.T_wc).tolist(), "aff": np.asarray(s.aff).tolist(),
@@ -131,6 +139,12 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
     }
     if "last_marg_mask" in arrays:
         fe._last_marg_mask = np.asarray(arrays["last_marg_mask"])
+    fe._marg_export_acc = {
+        int(slot): [(np.asarray(arrays[f"margacc.{slot}.{j}.pts"]),
+                     np.asarray(arrays[f"margacc.{slot}.{j}.cols"]))
+                    for j in range(n)]
+        for slot, n in meta.get("marg_acc_slots", [])
+    }
     fe.template_kf_slot = meta["template_kf_slot"]
     a, b = meta["template_ref_aff"]
     fe.template_ref_aff = AffLight(jnp.float32(a), jnp.float32(b))

@@ -163,8 +163,11 @@ class TestTraceActivation:
 
         full = immature.trace_points_all(batch, planes, jnp.asarray(KRKi),
                                          jnp.asarray(Kt), a, b, cfg)
+        # num_steps=64 matches the oracle's grid (production default is
+        # cfg.trace.num_steps=48; the comparison needs identical sampling)
         comp, n_search, n_over = immature.trace_points_all_compact(
-            batch, planes, jnp.asarray(KRKi), jnp.asarray(Kt), a, b, cfg)
+            batch, planes, jnp.asarray(KRKi), jnp.asarray(Kt), a, b, cfg,
+            num_steps=64)
         assert int(n_over) == 0 and int(n_search) > 50
 
         searched = (np.asarray(comp.status) == immature.IPS_GOOD) | (
@@ -189,7 +192,7 @@ class TestTraceActivation:
             cfg.trace, search_budget=16))
         comp2, ns2, nov2 = immature.trace_points_all_compact(
             batch, planes, jnp.asarray(KRKi), jnp.asarray(Kt), a, b,
-            cfg_small)
+            cfg_small, num_steps=64)
         assert int(nov2) == int(ns2) - 16 > 0
         # the first 16 searched lanes (row-major) match the full-budget run
         sflat = np.flatnonzero(np.asarray(
@@ -240,6 +243,76 @@ class TestTraceActivation:
         id_gt = 1.0 / depth_gt[gv, gu]
         rel = np.abs(np.asarray(out.idepth)[ok] - id_gt) / id_gt
         assert np.median(rel) < 0.08, np.median(rel)
+
+
+def test_flag_points_for_removal_isoob():
+    """Pin flagPointsForRemoval's rule set (FrontEnd.cpp:504-583 + DSO
+    isOOB/isInlierNew) on a constructed window: each rule fires exactly
+    where the reference policy says."""
+    from direct_stereo_slam_tpu.models import ba
+    from direct_stereo_slam_tpu.models.frontend import _flag_points_for_removal
+
+    _, cfg = setup()
+    NP, W = 10, 4
+    p_valid = np.ones(NP, bool)
+    pid = np.full(NP, 0.5, np.float32)
+    n_good = np.full(NP, 3, np.int64)
+    Hdd = np.full(NP, 100.0, np.float32)
+    pair_good = np.zeros((NP, W), bool)
+    pair_good[:, 1:4] = True              # support AWAY from flagged slot 0
+    p_num_good = np.full(NP, 20.0, np.float32)
+    p_last_res = np.full((NP, 2), ba.RES_IN, np.int32)
+    host_flagged = np.zeros(NP, bool)
+
+    # lane 0: healthy -> untouched
+    # lane 1: negative idepth -> bad/drop
+    pid[1] = -0.1
+    # lane 2: zero residuals -> bad/drop
+    n_good[2] = 0
+    # lane 3: support concentrates in the flagged slot (rule a):
+    # n_good=3, vis_in_marg(slot 0)=1 -> 3-1=2 < 3 -> isOOB
+    pair_good[3] = [True, True, True, False]
+    # lane 4: newest residual OOB (rule b)
+    p_last_res[4, 0] = ba.RES_OOB
+    # lane 5: last two outliers (rule c)
+    p_last_res[5] = [ba.RES_OUTLIER, ba.RES_OUTLIER]
+    # lane 6: rule c blocked by n_good < 2
+    p_last_res[6] = [ba.RES_OUTLIER, ba.RES_OUTLIER]
+    n_good[6] = 1
+    # lane 7: isOOB but NOT inlier-new (few lifetime goods) -> drop not marg
+    p_last_res[7, 0] = ba.RES_OOB
+    p_num_good[7] = 2.0
+    # lane 8: isOOB, inlier-new, but weak idepth hessian -> drop
+    p_last_res[8, 0] = ba.RES_OOB
+    Hdd[8] = 1.0
+    # lane 9: rule a blocked by immature lifetime (num_good <= mgr+10)
+    pair_good[9] = [True, True, True, False]
+    p_num_good[9] = 10.0
+
+    flagged = [0]
+    bad, leaving, marg, drop = _flag_points_for_removal(
+        p_valid, pid, n_good, Hdd, pair_good, p_num_good, p_last_res,
+        host_flagged, flagged, cfg)
+
+    assert not (bad[0] | leaving[0] | drop[0])
+    assert bad[1] and drop[1] and not marg[1]
+    assert bad[2] and drop[2]
+    assert leaving[3] and marg[3]          # rule a + inlier-new + strong H
+    assert leaving[4] and marg[4]          # rule b
+    assert leaving[5] and marg[5]          # rule c
+    assert not leaving[6]                  # rule c gated by n_res >= 2
+    assert leaving[7] and drop[7] and not marg[7]   # not inlier-new
+    assert leaving[8] and drop[8] and not marg[8]   # weak hessian
+    # rule a fires regardless of lane-9's lower lifetime? DSO requires
+    # numGoodResiduals > mgr+10 = 14; lane 9 has 10 -> must NOT fire
+    assert not leaving[9]
+
+    # host-flagged points always leave (existing policy)
+    host_flagged[0] = True
+    _, leaving2, marg2, _ = _flag_points_for_removal(
+        p_valid, pid, n_good, Hdd, pair_good, p_num_good, p_last_res,
+        host_flagged, flagged, cfg)
+    assert leaving2[0] and marg2[0]
 
 
 def test_device_allocator_matches_host_reference():
