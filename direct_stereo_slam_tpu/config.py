@@ -132,6 +132,14 @@ class BAConfig:
     min_good_active_res_for_marg: int = 3  # setting_minGoodActiveResForMarg
     min_good_res_for_marg: int = 4         # setting_minGoodResForMarg
     min_points_remaining: float = 0.05     # setting_minPointsRemaining
+    # valid-row compaction budget for the windowed-BA programs (see
+    # ba._compact_points): the pool is sized n_slots x max_points_per_frame
+    # = 4096 but the window holds ~desired_point_density (~2000) live
+    # points; routing the BA loop through a 2560-row compact view nearly
+    # halves its gather-bound cost (96.6 -> ~58 ms/KF at 6 iterations on a
+    # v5e). Overflow (valid > budget) is detected on device and the step
+    # redone full-shape. 0 disables compaction.
+    compact_budget: int = 2560
     max_log_aff_fac_in_window: float = 0.7  # setting_maxLogAffFacInWindow
     # fixed array budgets (TPU-first; replaces dynamic vectors)
     max_points_per_frame: int = 512        # active points hosted per KF slot
@@ -169,6 +177,17 @@ class TraceConfig:
     # recovers sub-pixel either way. Cost is linear in the count
     # (31 ns/sample on v5e).
     num_steps: int = 48
+    # steady-state trace tier (see trace_points_all_compact's TIERED
+    # note): on frames >= steady_after frames past the last keyframe,
+    # the frontend dispatches the small (steady_budget x steady_num_steps)
+    # program and defers lanes whose epipolar segment exceeds
+    # steady_max_reach px to the next full dispatch. steady_max_reach <=
+    # (steady_num_steps - 1) keeps sample spacing at DSO's 1 px. Set
+    # steady_after = 0 to disable the tier (every frame full-shape).
+    steady_after: int = 2
+    steady_num_steps: int = 16
+    steady_budget: int = 1024
+    steady_max_reach: float = 15.0
     # Max lanes paying the epipolar SEARCH per trace dispatch (the window's
     # other ~7x1024 lanes are converged/OOB/skipped in steady state and the
     # fixed-shape search cost 31 ns/sample x 64 steps x 8 pattern on chip —

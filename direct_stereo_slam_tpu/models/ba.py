@@ -905,9 +905,53 @@ def current_views(state: BAState):
             state.frame_valid, state.frame_id, state.p_valid, state.p_host)
 
 
-@partial(jax.jit, static_argnums=(1,))
+def _compact_points(state: BAState, budget: int):
+    """Gather the pool's VALID rows (valid-first, original row order
+    preserved by a stable sort) into a [budget]-row point state sharing the
+    frame-level arrays. The BA programs are gather-bound and pool-SHAPED —
+    cost scales with NP regardless of the valid mask (r4 chip ablation:
+    linearize 15.9 ms at NP=4096 vs 16.0 with half the rows masked invalid
+    vs 9.0 at NP=2048) — so running the window's ~2000 live points through
+    a 2560-row view nearly halves the optimize cost at identical results.
+
+    Returns (sub_state, rows [budget], n_dropped). n_dropped > 0 means
+    valid rows exceeded the budget and the compact result is WRONG (those
+    points' residuals were silently excluded); the caller must detect it
+    (it rides the keyframe bundle pull) and redo full-shape."""
+    order = jnp.argsort(~state.p_valid, stable=True)
+    rows = order[:budget]
+    n_valid = jnp.sum(state.p_valid.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_valid - budget, 0)
+    g = lambda a: a[rows]
+    sub = state._replace(
+        p_u=g(state.p_u), p_v=g(state.p_v), p_idepth=g(state.p_idepth),
+        p_idepth_zero=g(state.p_idepth_zero), p_host=g(state.p_host),
+        p_valid=g(state.p_valid), p_color=g(state.p_color),
+        p_weight=g(state.p_weight), p_prior=g(state.p_prior),
+        p_res_good=g(state.p_res_good), p_num_good=g(state.p_num_good),
+        p_last_res=g(state.p_last_res))
+    return sub, rows, n_dropped
+
+
+def _scatter_points(full: BAState, work: BAState, rows) -> BAState:
+    """Merge an optimized compact state back into the full pool: frame
+    arrays (poses, deltas, calib, energy_th, HM/bM) come from ``work``;
+    point arrays update at ``rows``, all other rows keep ``full``'s
+    values (they were invalid at compaction time)."""
+    return work._replace(
+        p_u=full.p_u, p_v=full.p_v,
+        p_idepth=full.p_idepth.at[rows].set(work.p_idepth),
+        p_idepth_zero=full.p_idepth_zero, p_host=full.p_host,
+        p_valid=full.p_valid.at[rows].set(work.p_valid),
+        p_color=full.p_color, p_weight=full.p_weight, p_prior=full.p_prior,
+        p_res_good=full.p_res_good.at[rows].set(work.p_res_good),
+        p_num_good=full.p_num_good.at[rows].set(work.p_num_good),
+        p_last_res=full.p_last_res.at[rows].set(work.p_last_res))
+
+
+@partial(jax.jit, static_argnums=(1, 4))
 def optimize_keyframe(state: BAState, cfg: SLAMConfig, iterations,
-                      newest_slot):
+                      newest_slot, compact_budget: int = None):
     """Fused keyframe BA step: optimize -> percentile energy threshold for
     the newest frame -> FEJ reset -> drop residual-less points, all in ONE
     dispatch chain so the host pulls (rmse, ok) once instead of syncing
@@ -917,14 +961,27 @@ def optimize_keyframe(state: BAState, cfg: SLAMConfig, iterations,
     (DSO likewise reuses the optimization-time idepth_hessian in
     makeCoarseDepthL0, TAS.cpp:158 — it does not re-linearize post-FEJ).
 
-    Returns (state, rmse, ok, Hdd [NP])."""
-    state, rmse, ok, lin = _optimize_impl(state, cfg, iterations)
-    state = set_new_frame_energy_th_from_lin(
-        state, lin, jnp.int32(newest_slot), cfg)
-    state = reset_fej_newest(state, jnp.int32(newest_slot))
-    no_res = ~jnp.any(state.p_res_good & state.p_valid[:, None], axis=1)
-    state = state._replace(p_valid=state.p_valid & ~no_res)
-    return state, rmse, ok, lin.Hdd
+    ``compact_budget`` routes the loop through a valid-row-compacted view
+    of the point pool (see _compact_points); identical results as long as
+    the window's valid count fits, and ``n_dropped`` reports when it did
+    not (the frontend then redoes the step full-shape).
+
+    Returns (state, rmse, ok, Hdd [NP], n_dropped)."""
+    if compact_budget is None or compact_budget >= state.num_points:
+        work, rows, n_dropped = state, None, jnp.int32(0)
+    else:
+        work, rows, n_dropped = _compact_points(state, compact_budget)
+    work, rmse, ok, lin = _optimize_impl(work, cfg, iterations)
+    work = set_new_frame_energy_th_from_lin(
+        work, lin, jnp.int32(newest_slot), cfg)
+    work = reset_fej_newest(work, jnp.int32(newest_slot))
+    no_res = ~jnp.any(work.p_res_good & work.p_valid[:, None], axis=1)
+    work = work._replace(p_valid=work.p_valid & ~no_res)
+    if rows is None:
+        return work, rmse, ok, lin.Hdd, n_dropped
+    state = _scatter_points(state, work, rows)
+    hdd = jnp.zeros(state.num_points, jnp.float32).at[rows].set(lin.Hdd)
+    return state, rmse, ok, hdd, n_dropped
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -432,6 +432,8 @@ class FrontEnd:
         # device-accumulated count of trace-search lanes past
         # cfg.trace.search_budget (pulled once, at the timing report)
         self._trace_overflow_acc = None
+        # frames since the last keyframe event (trace tier selection)
+        self._frames_since_kf = 0
         # isOOB-removed points whose HOST stays in the window: DSO keeps
         # them in host->pointHessiansMarginalized and exports them to the
         # loop handler only when the host itself marginalizes
@@ -1198,15 +1200,26 @@ class FrontEnd:
 
     def _make_non_keyframe(self, shell: FrameShell, pyr0: Pyramid):
         self.flush_pending()        # no-op unless the track pull was skipped
+        self._frames_since_kf += 1
+        tc = self.cfg.trace
+        steady = (tc.steady_after > 0
+                  and self._frames_since_kf >= tc.steady_after)
         with self.timers.span("trace"):
             self._trace_all(shell.T_wc, pyr0.data[0], shell.aff,
-                            shell.exposure)
+                            shell.exposure, steady=steady)
 
     def _trace_all(self, T_wc_new: np.ndarray, target_planes, new_aff,
-                   new_exposure: float = 1.0):
+                   new_exposure: float = 1.0, steady: bool = False):
         """traceOn over every window slot: ONE vmapped dispatch (inactive
         slots carry valid=False lanes; their identity transforms are
-        harmless)."""
+        harmless).
+
+        ``steady=True`` selects the small steady-state trace tier
+        (cfg.trace.steady_*): by the second frame past a keyframe every
+        fresh candidate has a bracketed interval, so the short-reach
+        program covers the live population at ~1/6 the gather cost; the
+        rare long-segment lane defers (n_overflow) until the next full
+        dispatch — the KF-event trace and the first post-KF frame(s)."""
         if not self.imm_slots:
             return
         K = np.asarray(self.intr0.K(0), np.float32)
@@ -1228,10 +1241,13 @@ class FrontEnd:
                 np.clip(new_aff[0] - aff_all[slot, 0], -20.0, 20.0)) * (
                 new_exposure / max(self.slot_exposure.get(slot, 1.0), 1e-9))
             b_rel[slot] = new_aff[1] - a_rel[slot] * aff_all[slot, 1]
+        tc = self.cfg.trace
+        tier = (dict(num_steps=tc.steady_num_steps, budget=tc.steady_budget,
+                     max_reach=tc.steady_max_reach) if steady else {})
         self.immatures, n_search, n_overflow = immature.trace_points_all_compact(
             self.immatures, target_planes,
             jnp.asarray(KRKi), jnp.asarray(Kt),
-            jnp.asarray(a_rel), jnp.asarray(b_rel), self.cfg,
+            jnp.asarray(a_rel), jnp.asarray(b_rel), self.cfg, **tier,
         )
         # no silent caps: overflowed (not-searched-this-frame) lanes are
         # accumulated on device and surface in the timing report
@@ -1259,6 +1275,7 @@ class FrontEnd:
         cfg = self.cfg
         self.flush_pending()        # no-op unless the track pull was skipped
         shell.is_kf = True
+        self._frames_since_kf = 0   # trace tier: full-shape until steady
         self.kf_shells.append(shell)
 
         # ---- BUNDLE 1: pre-insert views + immature counts ------------------
@@ -1324,34 +1341,48 @@ class FrontEnd:
             iters = 20
         elif n_active_frames < 4:
             iters = 15
-        with self.timers.span("dso_opt"):
-            self.ba_state, rmse_d, ok_d, hdd_d = ba.optimize_keyframe(
-                self.ba_state, cfg, iters, slot)
-
-        # ---- template chain + speculative scale dispatch (device) ----------
-        with self.timers.span("template"):
-            ti = ba.template_inputs(self.ba_state, cfg, slot, hdd_d)
-            tmpl = build_template(
-                ti[0], ti[1], ti[2], ti[3], pyr0.data[0][..., 0],
-                self.levels, self.budgets, valid=ti[4])
-            pmask_count = jnp.sum(tmpl.pmask[0])
-
         scale_enabled = (cfg.scale_opt.accept_thres > 0 and
                          len(self.kf_shells) > cfg.scale_opt.min_kfs_before_scale)
-        scale_out = None
-        if scale_enabled:
-            with self.timers.span("scale_opt"):
-                pyr1 = build_pyramid(img1, self.levels)
-                scale_out = dispatch_scale_optimization(
-                    tuple(pyr1.data), tmpl, self.intr0, self.intr1,
-                    jnp.asarray(self.t_cam1_cam0), cfg, self.scale_state)
+        st_pre_ba = self.ba_state
 
-        # ---- BUNDLE 3: BA gates + views + template + scale -----------------
-        views2_dev = ba.current_views(self.ba_state)
-        bundle3 = [rmse_d, ok_d, views2_dev, pmask_count]
-        if scale_out is not None:
-            bundle3.append((scale_out.scale, scale_out.error))
-        pulled3 = jax.device_get(tuple(bundle3))
+        def run_ba_chain(compact_budget):
+            """BA -> template -> speculative scale -> bundle-3 pull, as one
+            retryable unit: the compact attempt's n_dropped rides the same
+            pull, and a (rare) overflow redoes the chain full-shape."""
+            with self.timers.span("dso_opt"):
+                st, rmse_d, ok_d, hdd_d, ndrop_d = ba.optimize_keyframe(
+                    st_pre_ba, cfg, iters, slot, compact_budget)
+
+            with self.timers.span("template"):
+                ti = ba.template_inputs(st, cfg, slot, hdd_d)
+                tmpl = build_template(
+                    ti[0], ti[1], ti[2], ti[3], pyr0.data[0][..., 0],
+                    self.levels, self.budgets, valid=ti[4])
+                pmask_count = jnp.sum(tmpl.pmask[0])
+
+            scale_out = None
+            if scale_enabled:
+                with self.timers.span("scale_opt"):
+                    pyr1 = build_pyramid(img1, self.levels)
+                    scale_out = dispatch_scale_optimization(
+                        tuple(pyr1.data), tmpl, self.intr0, self.intr1,
+                        jnp.asarray(self.t_cam1_cam0), cfg, self.scale_state)
+
+            # ---- BUNDLE 3: BA gates + views + template + scale -------------
+            views2_dev = ba.current_views(st)
+            bundle3 = [rmse_d, ok_d, views2_dev, pmask_count, ndrop_d]
+            if scale_out is not None:
+                bundle3.append((scale_out.scale, scale_out.error))
+            return st, tmpl, scale_out, jax.device_get(tuple(bundle3))
+
+        cb = cfg.ba.compact_budget
+        cb = cb if 0 < cb < self.pool else None
+        self.ba_state, tmpl, scale_out, pulled3 = run_ba_chain(cb)
+        if cb is not None and int(pulled3[4]) > 0:
+            # live points exceeded the compact budget: the compact BA
+            # silently excluded some — redo full-shape (detected on the
+            # same pull; costs one extra chain on a rare transient)
+            self.ba_state, tmpl, scale_out, pulled3 = run_ba_chain(None)
         rmse = float(pulled3[0])
 
         # ---- init-failure / lost gates (FrontEnd.cpp:778-790) --------------
@@ -1391,7 +1422,7 @@ class FrontEnd:
         if scale_out is not None:
             accepted, new_scale, scale_error, self.scale_state = \
                 decide_scale_optimization(
-                    np.asarray(pulled3[4][0]), np.asarray(pulled3[4][1]),
+                    np.asarray(pulled3[5][0]), np.asarray(pulled3[5][1]),
                     cfg, self.scale_state)
             if accepted:
                 self._apply_scale(new_scale, slot)

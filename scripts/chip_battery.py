@@ -182,12 +182,24 @@ def bench_trace(jax):
         batch2, planes, KRKi, Kt, ones, zeros, cfg), n=10)
     _, n_search, n_over = immature.trace_points_all_compact(
         batch2, planes, KRKi, Kt, ones, zeros, cfg)
+
+    # steady-state tier (r4): short-reach small program
+    tc = cfg.trace
+    ms_steady = _t(lambda: immature.trace_points_all_compact(
+        batch2, planes, KRKi, Kt, ones, zeros, cfg,
+        tc.steady_num_steps, tc.steady_budget, tc.steady_max_reach), n=10)
+    _, ns_s, nov_s = immature.trace_points_all_compact(
+        batch2, planes, KRKi, Kt, ones, zeros, cfg,
+        tc.steady_num_steps, tc.steady_budget, tc.steady_max_reach)
     emit("trace", S=S, NI=NI, fresh_ms=round(ms_fresh, 3),
          converged_ms=round(ms_conv, 3),
          compact_fresh_ms=round(ms_c_fresh, 3),
          compact_converged_ms=round(ms_c_conv, 3),
          compact_budget=cfg.trace.search_budget,
-         converged_n_search=int(n_search), converged_overflow=int(n_over))
+         converged_n_search=int(n_search), converged_overflow=int(n_over),
+         steady_ms=round(ms_steady, 3),
+         steady_shape=[tc.steady_budget, tc.steady_num_steps],
+         steady_overflow=int(nov_s))
 
 
 def bench_ba(jax):
@@ -229,6 +241,16 @@ def bench_ba(jax):
     for it in (1, 2, 4, 6):
         ms = _t(lambda it=it: ba.optimize(state, cfg, it)[0].delta, n=5)
         out[f"optimize_{it}it_ms"] = round(ms, 3)
+    # compacted keyframe chain (r4): valid-row view at cfg.ba.compact_budget
+    cb = cfg.ba.compact_budget
+    if 0 < cb < state.num_points:
+        ms = _t(lambda: ba.optimize_keyframe(
+            state, cfg, 6, jnp.int32(NS - 1), cb)[0].delta, n=5)
+        out["optimize_kf_6it_compact_ms"] = round(ms, 3)
+        out["compact_budget"] = cb
+    ms = _t(lambda: ba.optimize_keyframe(
+        state, cfg, 6, jnp.int32(NS - 1), None)[0].delta, n=5)
+    out["optimize_kf_6it_full_ms"] = round(ms, 3)
     emit("ba", NS=NS, NP=NS * NPP, **out)
     bench_ba.last = (state, cfg, intr, W, H, LVLS)
 
