@@ -98,6 +98,14 @@ def save_frontend(path: str, fe: FrontEnd):
         "last_dso_error": fe.last_dso_error,
         "current_min_act_dist": fe.current_min_act_dist,
         "pot": fe.pot,
+        # trace steady-tier host state (frontend.py): the compact-vs-full
+        # tier gate depends on frames-since-KF; omitting it made resume
+        # restart at the full tier and diverge from the original run
+        # (round-4 bit-exactness regression).
+        "frames_since_kf": int(fe._frames_since_kf),
+        "trace_overflow_acc": (
+            None if fe._trace_overflow_acc is None
+            else int(np.asarray(fe._trace_overflow_acc))),
         "slot_stats": {str(k): v for k, v in fe.slot_stats.items()},
         "marg_acc_slots": acc_slots,
         "all_frames": [
@@ -166,6 +174,9 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
     fe.last_dso_error = meta["last_dso_error"]
     fe.current_min_act_dist = meta["current_min_act_dist"]
     fe.pot = meta["pot"]
+    fe._frames_since_kf = int(meta.get("frames_since_kf", 0))
+    toa = meta.get("trace_overflow_acc", None)
+    fe._trace_overflow_acc = None if toa is None else jnp.int32(toa)
     fe.slot_stats = {int(k): v for k, v in meta["slot_stats"].items()}
     fe.all_frames = [
         FrameShell(
