@@ -285,24 +285,38 @@ def _flag_points_for_removal(p_valid, pid_a, n_good, Hdd, pair_good,
     Deviation (documented): n_good counts the bundle lin's (post-scale
     re-evaluated) active residuals where DSO reads the fix-pass survivor
     set; DSO also re-linearizes inlier points with resetOOB before the
-    Hessian bar — the bundle lin IS a fresh linearization, same effect."""
+    Hessian bar — the bundle lin IS a fresh linearization, same effect.
+    The returned ``rules`` dict counts which clause fired (support
+    concentration / newest-OOB / two-outliers / bad) so the definitional
+    wobble's reach is measurable: only the support-concentration clause
+    reads n_good against the threshold, so its share of removals bounds
+    the deviation's possible effect (PARITY quantification, VERDICT r4
+    item 7)."""
     mgar = cfg.ba.min_good_active_res_for_marg
     mgr = cfg.ba.min_good_res_for_marg
     bad = p_valid & ((pid_a < 0) | (n_good == 0))
     vis_in_marg = (pair_good[:, flagged].sum(1) if len(flagged)
                    else np.zeros_like(n_good))
-    is_oob = (
-        ((n_good >= mgar) & (p_num_good > mgr + 10)
-         & (n_good - vis_in_marg < mgar))
-        | (p_last_res[:, 0] == ba.RES_OOB)
-        | ((n_good >= 2) & (p_last_res[:, 0] == ba.RES_OUTLIER)
-           & (p_last_res[:, 1] == ba.RES_OUTLIER))
-    )
+    rule_support = ((n_good >= mgar) & (p_num_good > mgr + 10)
+                    & (n_good - vis_in_marg < mgar))
+    rule_oob = p_last_res[:, 0] == ba.RES_OOB
+    rule_out2 = ((n_good >= 2) & (p_last_res[:, 0] == ba.RES_OUTLIER)
+                 & (p_last_res[:, 1] == ba.RES_OUTLIER))
+    is_oob = rule_support | rule_oob | rule_out2
     leaving = p_valid & ~bad & (host_flagged | is_oob)
     inlier_new = (n_good >= mgar) & (p_num_good >= mgr)
     marg = leaving & inlier_new & (Hdd > cfg.ba.min_idepth_h_marg)
     drop = bad | (leaving & ~marg)
-    return bad, leaving, marg, drop
+    proactive = leaving & ~host_flagged     # isOOB fired while host stays
+    rules = {
+        "bad": int(bad.sum()),
+        "support_concentration": int((proactive & rule_support).sum()),
+        "newest_oob": int((proactive & rule_oob & ~rule_support).sum()),
+        "two_outliers": int((proactive & rule_out2 & ~rule_support
+                             & ~rule_oob).sum()),
+        "host_leaving": int((leaving & host_flagged).sum()),
+    }
+    return bad, leaving, marg, drop, rules
 
 
 @jax.jit
@@ -395,6 +409,9 @@ class FrontEnd:
         self.pyramids: Dict[int, Pyramid] = {}   # per-slot full pyramids
         # (kept for loop-closure export: per-level colors + direct alignment)
         self.slot_stats: Dict[int, Dict[str, int]] = {}
+        # point-removal rule attribution (PARITY quantification): counts
+        # per flagPointsForRemoval clause + stay-host export volume
+        self.removal_stats: Dict[str, int] = {}
         self.template: Optional[TrackerTemplate] = None
         self.template_kf_slot = -1
         self.template_ref_aff = AffLight(jnp.float32(0.0), jnp.float32(0.0))
@@ -1471,9 +1488,14 @@ class FrontEnd:
         n_good_dev = jnp.sum(lin.pair_good, axis=1)
         sel_map, sel_count = make_selection_map(
             pyr0.abs_grad[0], pyr0.abs_grad[1], pyr0.abs_grad[2], self.pot, cfg)
+        # per-level colors for EVERY window slot's points, not just the
+        # flagged ones: stay-host isOOB exports then carry full per-level
+        # signatures too (closes the r4 center-color-only deviation,
+        # PARITY/VERDICT r4 item 7). The extra gathers ride the same async
+        # bundle copy, off the tracking critical path.
         color_gathers = {
             s: _gather_level_colors(tuple(self.pyramids[s].data), st.p_u, st.p_v)
-            for s in flagged if s in self.pyramids
+            for s in self.pyramids
         }
         views_dev = ba.current_views(st)
 
@@ -1529,10 +1551,12 @@ class FrontEnd:
         # ---- flag + marginalize/drop points (FrontEnd.cpp:504-583) ---------
         with self.timers.span("point_marg"):
             host_flagged = np.isin(p_host, flagged)
-            bad, leaving, marg, drop = _flag_points_for_removal(
+            bad, leaving, marg, drop, rules = _flag_points_for_removal(
                 p_valid, pid_a, n_good, Hdd, pair_good, p_num_good,
                 p_last_res, host_flagged, flagged, cfg)
             removed = marg | drop
+            for k, v in rules.items():
+                self.removal_stats[k] = self.removal_stats.get(k, 0) + v
             for s in set(p_host[marg]):
                 self.slot_stats.setdefault(int(s), {"out": 0, "marg": 0})[
                     "marg"] += int((marg & (p_host == s)).sum())
@@ -1553,9 +1577,10 @@ class FrontEnd:
             exp_mask = leaving if cfg.loop.densify_scans else marg
             # isOOB'd points whose host STAYS accumulate until the host
             # marginalizes (DSO host->pointHessiansMarginalized). Colors:
-            # center intensity only (the full per-level gather rides the
-            # flagged-slot bundle; the handler pads missing levels) —
-            # documented fidelity deviation for this small subset.
+            # full per-level signatures from the host-slot gather that
+            # rode this bundle (r4 shipped center-intensity-only here;
+            # closed in r5 — the fallback remains for a slot whose
+            # pyramid was somehow not gathered).
             stay = exp_mask & ~host_flagged
             if stay.any():
                 for s in set(p_host[stay]):
@@ -1564,8 +1589,12 @@ class FrontEnd:
                     pts_cam = np.stack(
                         [(pu_a[m] - cx0) / fx0 / pid,
                          (pv_a[m] - cy0) / fy0 / pid, 1.0 / pid], -1)
+                    col = (colors_by_slot[s][m] if s in colors_by_slot
+                           else p_color[m][:, 4:5])
+                    self.removal_stats["stay_export"] = (
+                        self.removal_stats.get("stay_export", 0) + int(m.sum()))
                     self._marg_export_acc.setdefault(int(s), []).append(
-                        (pts_cam, p_color[m][:, 4:5]))
+                        (pts_cam, col))
             self._last_marg_mask = exp_mask & host_flagged
 
         # ---- density feedback for the next KF's selection ------------------

@@ -107,6 +107,7 @@ def save_frontend(path: str, fe: FrontEnd):
             None if fe._trace_overflow_acc is None
             else int(np.asarray(fe._trace_overflow_acc))),
         "slot_stats": {str(k): v for k, v in fe.slot_stats.items()},
+        "removal_stats": dict(fe.removal_stats),
         "marg_acc_slots": acc_slots,
         "all_frames": [
             {"incoming_id": s.incoming_id, "timestamp": s.timestamp,
@@ -178,6 +179,7 @@ def load_frontend(path: str, fe: FrontEnd) -> FrontEnd:
     toa = meta.get("trace_overflow_acc", None)
     fe._trace_overflow_acc = None if toa is None else jnp.int32(toa)
     fe.slot_stats = {int(k): v for k, v in meta["slot_stats"].items()}
+    fe.removal_stats = dict(meta.get("removal_stats", {}))
     fe.all_frames = [
         FrameShell(
             incoming_id=s["incoming_id"], timestamp=s["timestamp"],

@@ -100,6 +100,10 @@ def main():
                 "fps": round((args.max_frames or len(ds)) / wall, 2),
                 "kfs": len(sodso),
                 "loops": handler.direct_loop_count + handler.icp_loop_count,
+                "loop_funnel": dict(handler.stats),
+                # point-removal rule attribution: bounds the n_good-set
+                # definitional deviation (PARITY "Known gaps")
+                "removal_stats": dict(node.frontend.removal_stats),
                 "stages_ms": {k: round(v[0], 3)
                               for k, v in timing_table(node.timers).items()},
             }

@@ -59,13 +59,15 @@ except Exception:
 
 
 def pytest_collection_modifyitems(config, items):
-    """Run the tracker tests FIRST. XLA:CPU intermittently segfaults (or
-    SIGABRTs in executable serialization) when compiling the large batched
-    tracker programs LATE in a long pytest process on this platform —
-    observed repeatedly at tests/test_tracker.py inside
-    backend_compile_and_load after ~100 tests, never in a young process.
-    Fronting the heavy compiles sidesteps the crash window; test outcomes
-    are order-independent (each test builds its own state)."""
-    front = [it for it in items if "test_tracker" in it.nodeid]
-    rest = [it for it in items if "test_tracker" not in it.nodeid]
+    """Run the heavy-compile test files FIRST. XLA:CPU intermittently
+    segfaults (or SIGABRTs in executable serialization) when compiling
+    large batched tracker programs LATE in a long pytest process on this
+    platform — observed repeatedly inside backend_compile_and_load after
+    ~75-100 tests (test_tracker.py in r2-r4; test_pipelined_tracking.py's
+    serial-policy program at the 54% mark twice in r5), never in a young
+    process. Fronting the heavy compiles sidesteps the crash window; test
+    outcomes are order-independent (each test builds its own state)."""
+    heavy = ("test_tracker", "test_pipelined_tracking")
+    front = [it for it in items if any(h in it.nodeid for h in heavy)]
+    rest = [it for it in items if not any(h in it.nodeid for h in heavy)]
     items[:] = front + rest

@@ -67,6 +67,29 @@ def test_keyframes_and_marginalization_happen():
         assert mk.kf_id >= 0
 
 
+def test_marginalized_exports_full_level_colors():
+    """Every exported point — including isOOB'd points whose host stayed
+    in the window (the accumulator path) — must carry full per-level
+    intensity signatures [K, LVLS], not the r4 center-color-only
+    fallback; PoseEstimator samples all pyramid levels of these colors
+    (LoopHandler.cpp:166-181)."""
+    fe, shells, ds = run_sequence(n_frames=25, speed=0.45)
+    assert len(fe.marginalized_queue) > 0
+    saw_stay = fe.removal_stats.get("stay_export", 0)
+    for mk in fe.marginalized_queue:
+        if mk.pts_cam.shape[0] == 0:
+            continue
+        assert mk.pts_colors.shape == (mk.pts_cam.shape[0], LVLS), (
+            mk.pts_colors.shape)
+        assert np.isfinite(mk.pts_colors).all()
+    # rule counters accumulate (host_leaving fires whenever a frame
+    # marginalizes with surviving points)
+    assert fe.removal_stats.get("host_leaving", 0) > 0, fe.removal_stats
+    # if any stay-exports happened this run, the width assert above
+    # proved they were full-level; record the count for visibility
+    print("removal_stats:", fe.removal_stats, "stay_exports:", saw_stay)
+
+
 def test_scale_stays_metric():
     """Stereo init gives metric scale; the scale optimizer should keep the
     accepted scale near 1 throughout."""

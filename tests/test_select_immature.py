@@ -290,7 +290,7 @@ def test_flag_points_for_removal_isoob():
     p_num_good[9] = 10.0
 
     flagged = [0]
-    bad, leaving, marg, drop = _flag_points_for_removal(
+    bad, leaving, marg, drop, rules = _flag_points_for_removal(
         p_valid, pid, n_good, Hdd, pair_good, p_num_good, p_last_res,
         host_flagged, flagged, cfg)
 
@@ -307,12 +307,19 @@ def test_flag_points_for_removal_isoob():
     # numGoodResiduals > mgr+10 = 14; lane 9 has 10 -> must NOT fire
     assert not leaving[9]
 
+    # rule attribution (PARITY quantification): lanes 1+2 bad; lane 3 via
+    # support concentration; lanes 4,7,8 via newest-OOB; lane 5 via
+    # two-outliers; none host-leaving
+    assert rules == {"bad": 2, "support_concentration": 1, "newest_oob": 3,
+                     "two_outliers": 1, "host_leaving": 0}
+
     # host-flagged points always leave (existing policy)
     host_flagged[0] = True
-    _, leaving2, marg2, _ = _flag_points_for_removal(
+    _, leaving2, marg2, _, rules2 = _flag_points_for_removal(
         p_valid, pid, n_good, Hdd, pair_good, p_num_good, p_last_res,
         host_flagged, flagged, cfg)
     assert leaving2[0] and marg2[0]
+    assert rules2["host_leaving"] == 1
 
 
 def test_device_allocator_matches_host_reference():
