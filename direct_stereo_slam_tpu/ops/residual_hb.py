@@ -33,7 +33,7 @@ from functools import partial
 _HI = jax.lax.Precision.HIGHEST
 _mm = partial(jnp.matmul, precision=_HI)
 
-from .interp import bilinear_take_channels
+from .interp import bilinear_gather
 from ..config import SCALE_XI_TRANS, SCALE_XI_ROT, SCALE_A, SCALE_B
 
 
@@ -82,6 +82,17 @@ def _huber_energy(r, hw, sat, max_energy):
 # (~1.4x per-index cost on TPU, the measured batch-scaling wall); closing the
 # stack over the vmap and folding the lane index into one rank-1 take keeps
 # the fast flat-gather lowering at any B. Values are bitwise-identical.
+#
+# The PLAIN path uses the generic row gather, NOT the flat-take form: these
+# passes run over small index sets (~2000 template points per level), where
+# the take form's 12 lane-aligned takes pay 12 fixed per-op overheads inside
+# the LM while_loops. Measured on-chip A/B at HEAD (v5e, KITTI res, preset
+# 0): track_candidate 3.06 ms + scale 4.06 ms with the row gather vs 15.3
+# ms/frame combined with takes — the r3 blanket switch to takes here was the
+# 195->63 FPS headline regression (r5 bisect). The take forms remain correct
+# for the LARGE index sets (epipolar trace, activation, BA linearization)
+# where the row gather's context-sensitive lowering hits its ~400x
+# pathological path; see ops/interp.py.
 # ---------------------------------------------------------------------------
 
 
@@ -97,7 +108,8 @@ def _sample_img(img, Ku, Kv):
         stack, lane = img
         fidx = jnp.broadcast_to(jnp.asarray(lane, jnp.int32), Ku.shape)
         return bilinear_take_frames(stack, fidx, Ku, Kv)
-    return bilinear_take_channels(img, Ku, Kv)
+    hit = bilinear_gather(img, Ku, Kv)
+    return hit[..., 0], hit[..., 1], hit[..., 2]
 
 
 def _flow_stats(Ku, Kv, Ku_t, Kv_t, Ku_t2, Kv_t2, Ku_rt2, Kv_rt2, u0, v0, mask):
@@ -248,7 +260,8 @@ def pose3d_residual_pass(
         & (Ku < W_img - 3.0) & (Kv < H_img - 3.0)
         & (new_id > 0.0)
     )
-    hit_i, hit_dx, hit_dy = bilinear_take_channels(img, Ku, Kv)
+    hit = bilinear_gather(img, Ku, Kv)   # small index set: row-gather regime
+    hit_i, hit_dx, hit_dy = hit[..., 0], hit[..., 1], hit[..., 2]
     valid &= jnp.isfinite(hit_i)
 
     residual = hit_i - (aff_a * pcolor + aff_b)
