@@ -1,28 +1,36 @@
 """Benchmark: stereo tracking + scale-optimization throughput per chip,
 plus the END-TO-END SLAMNode pipeline with an honest per-stage profile.
 
-Budgeted streaming protocol (r4): the driver gives bench.py a finite time
-budget; r3's all-or-nothing single print at the very end turned a timeout
-into a NULL round record (BENCH_r03: rc=124, parsed=null). Now:
+Budgeted streaming protocol (r4), hardened in r5 after BENCH_r04 blew the
+whole budget inside section 1 (cold compiles + serial host rendering ate
+774 s of 480) and skipped every mandated section:
 
-- a total budget is read from ``DSSLAM_BENCH_BUDGET_S`` (default 480 s);
+- a total budget is read from ``DSSLAM_BENCH_BUDGET_S`` (default 700 s —
+  the r4 driver run proved a ~800 s process is not externally killed);
 - after EVERY section completes, the full cumulative result JSON is
   re-printed as one line (the driver keeps the last parseable line), so a
   timeout can only truncate later sections, never erase earlier ones;
-- each section estimates its cost from its own first pass and SKIPS
-  (recording ``<section>_skipped: "budget"``) instead of overrunning;
+- ALL synthetic-frame rendering (XLA:CPU ray-cast, the driver host has
+  ONE core) runs on a background prefetch thread that overlaps the TPU
+  compile waits; it pauses during timed windows so measurements stay
+  clean;
+- section order is by mandate, not by cost: dispatch diagnostics (attributes
+  tunnel health, VERDICT r4 weak-3) -> hot headline -> e2e -> loop ->
+  batch sweep. Compile time is emitted separately per section
+  (``*_compile_s``) so a cold-cache day is attributable;
 - the reference bar: its timing table prints at shutdown unconditionally
   (/root/reference/src/main.cpp:178-210).
 
-Sections, in order (cheap + headline first):
+Sections:
 
+0. diag — per-dispatch overhead, blocking-pull RTT, and bf16 matmul
+   TFLOPs on the attached chip. Distinguishes "tunnel is degraded today"
+   from "the code regressed" (the r2->r4 headline swing 195->63 FPS was
+   unattributable without this);
 1. hot path — the per-frame program alone (coarse-to-fine LM tracking +
    amortized 1-DoF stereo scale optimization) on device-resident frames
    at KITTI resolution (1232x368, preset-0 budgets);
-2. batch sweep — the same program over B in {8, 16, 32} independent
-   sequences on ONE chip (BASELINE config 5 scaling story), in both the
-   plain-vmap and the folded flat-take gather forms;
-3. e2e — the full ``SLAMNode.process`` loop on a synthetic forward
+2. e2e — the full ``SLAMNode.process`` loop on a synthetic forward
    sequence: real host winner selection, keyframe pipeline (trace /
    activate / windowed BA / template / scale opt), marginalization and
    the (synchronous) loop-closure stack. Two tables:
@@ -32,13 +40,14 @@ Sections, in order (cheap + headline first):
      at every span exit + blocking-pull accounting (``pulls``). Each
      stage's number includes its own device time plus one barrier RTT
      (``barrier_ms``, measured — subtract it per span to compare);
-4. e2e_loop — ONE post-cold revisit lap at the reference-default Scan
+3. e2e_loop — ONE post-cold revisit lap at the reference-default Scan
    Context gate 0.33 (loop trajectory, loop_margin=12 documented below)
    so sc_generation / search_sc / direct_est / icp / pose_graph_opt
    appear with real counts; ``loop_count`` may legitimately read 0 on a
-   numerics-shifted day — reported, not asserted (r3's gate-walk retry
-   loop is gone: it multiplied worst-case cost by 4 and masked recall
-   regressions, VERDICT r3 weak #6).
+   numerics-shifted day — reported, not asserted;
+4. batch sweep — the per-frame program over B in {8, 16, 32} independent
+   sequences on ONE chip (BASELINE config 5 scaling story). Least
+   mandated, so it runs last.
 
 Every line printed is the same shape:
 
@@ -53,16 +62,20 @@ per chip; the C++ reference runs roughly realtime, ~10 FPS, on its CPU).
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
-BUDGET_S = float(os.environ.get("DSSLAM_BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("DSSLAM_BENCH_BUDGET_S", "700"))
 _T0 = time.monotonic()
 
 _REPORT = {"metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
            "budget_s": BUDGET_S}
+
+E2E_FRAMES = 40
+LOOP_FRAMES = 100
 
 
 def _remaining():
@@ -97,13 +110,181 @@ def _setup_cache(jax):
         pass
 
 
-def bench_hot_path(jax):
+class FramePrefetcher:
+    """Renders the e2e + loop synthetic frames on a background thread.
+
+    The synthetic renderer is an XLA:CPU ray-cast and the driver host has
+    a single core: rendering 2*(40+100) frames at 1232x368 serially costs
+    minutes — in r4 it burned the bench budget before the first mandated
+    section. The TPU sections spend most of their wall-clock waiting on
+    remote compiles, so rendering overlaps them almost for free. `pause()`
+    is a RENDEZVOUS: it returns only once the renderer is actually parked
+    between frames, so timed measurement windows never overlap render CPU
+    (a non-barrier pause let the first driver-shaped r5 run time the diag
+    pull loop against the renderer's ~200 s XLA:CPU compile on the 1-core
+    host: 53 s per 2-ms pull). The one uninterruptible stretch is that
+    compile itself, inside frame 0 — sections that pause before their
+    timed loops already wait for >=2 rendered frames, so the barrier
+    waits at most one frame (~0.5 s).
+
+    NOTE: frames stay numpy here; each section device_puts to the TPU
+    itself (the transfer is part of honest section setup, and the
+    renderer must never touch the TPU — io/synthetic.py's session-
+    poisoning note).
+    """
+
+    def __init__(self):
+        self._resume = threading.Event()
+        self._resume.set()
+        self._idle = threading.Event()
+        self.e2e_frames = []
+        self.loop_frames = []
+        self.e2e_depth0 = None
+        self.e2e_done = threading.Event()
+        self.loop_done = threading.Event()
+        self.e2e_ds = None
+        self.loop_ds = None
+        self.error = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def pause(self):
+        self._resume.clear()
+        self._idle.wait()       # rendezvous: renderer parked (or finished)
+
+    def resume(self):
+        self._resume.set()
+
+    def _checkpoint(self):
+        """Between-frame gate: park here while paused."""
+        if not self._resume.is_set():
+            self._idle.set()
+            self._resume.wait()
+            self._idle.clear()
+
+    def _run(self):
+        try:
+            self._render_all()
+        except Exception as e:  # surfaced by the waiting section
+            self.error = e
+            self.e2e_done.set()
+            self.loop_done.set()
+        finally:
+            self._idle.set()    # never block pause() after exit
+
+    def _render_all(self):
+        from direct_stereo_slam_tpu.io.synthetic import (
+            SyntheticStereoDataset, default_scene, loop_trajectory)
+        import jax.numpy as jnp
+
+        W, H = 1232, 368
+        ds = SyntheticStereoDataset(n_frames=E2E_FRAMES, width=W, height=H,
+                                    speed=0.4)
+        self.e2e_ds = ds
+        for i in range(E2E_FRAMES):
+            self._checkpoint()
+            f = ds.frame(i)
+            if i == 0:
+                self.e2e_depth0 = f["depth0"]  # hot path seeds its
+                #                                template idepths from this
+            self.e2e_frames.append(
+                (f["img0"], f["img1"], float(f["timestamp"])))
+        self.e2e_done.set()
+
+        # loop lap: box-rich room (same construction as
+        # tests/test_full_slam.py — bare walls are too texture-poor for
+        # reliable revisit tracking), 1.45 laps so the tail retraces the
+        # first segment with matching heading (Scan Context is place-only;
+        # a 1.0-lap circle's matches face away and direct alignment has
+        # zero overlap — measured 0 closures in 70 frames without the
+        # retrace, 5 direct closures in 100 with it).
+        rngb = np.random.RandomState(7)
+        centers = []
+        while len(centers) < 14:
+            c = rngb.uniform(-22, 22, 3)
+            c[1] = rngb.uniform(-1.5, 0.5)
+            c[2] = rngb.uniform(-14, 30)
+            if np.hypot(c[0], c[2] - 8.0) < 4.0 or \
+               np.hypot(c[0], c[2] - 8.0) > 13.0:
+                centers.append(c)
+        scene = default_scene(wall_x=25.0, front_z=45.0, back_z=-25.0)
+        scene = scene._replace(
+            box_centers=jnp.asarray(np.stack(centers), jnp.float32),
+            box_half=jnp.asarray(rngb.uniform(0.5, 2.0, (14, 3)),
+                                 jnp.float32),
+            box_phase=jnp.asarray(rngb.uniform(0, 6.28, (14, 2)),
+                                  jnp.float32),
+        )
+        ds2 = SyntheticStereoDataset(n_frames=LOOP_FRAMES, width=W, height=H,
+                                     scene=scene)
+        ds2.poses = loop_trajectory(LOOP_FRAMES, radius=8.0, laps=1.45,
+                                    ease_in=8)
+        self.loop_ds = ds2
+        for i in range(LOOP_FRAMES):
+            self._checkpoint()
+            f = ds2.frame(i)
+            self.loop_frames.append(
+                (f["img0"], f["img1"], float(f["timestamp"])))
+        self.loop_done.set()
+
+
+def bench_diag(jax):
+    """Section 0: dispatch diagnostics — is the testbed healthy today?
+
+    Mirrors scripts/chip_battery.py diag_dispatch; folded into the
+    official record so a headline swing is attributable to tunnel RTT /
+    dispatch serialization vs a real code regression (VERDICT r4 weak-3:
+    195->63 FPS with nothing in the record to say why)."""
+    import jax.numpy as jnp
+    diag = {}
+    # First blocking round-trip, reported separately: on a freshly
+    # attached (or recently wedged) tunnel the first device sync can
+    # block for minutes while the server drains a stale session — that
+    # is acquisition cost, not RTT (an early r5 run averaged one 770 s
+    # stall into the 10-pull loop and read "77 s RTT" on a healthy 2 ms
+    # link).
+    t0 = time.perf_counter()
+    x = jnp.ones((8, 128), jnp.float32)
+    tiny = jax.jit(lambda a: a + 1.0)
+    float(jax.device_get(tiny(x).sum()))
+    diag["device_acquire_s"] = round(time.perf_counter() - t0, 1)
+    for n in (1, 50):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(n):
+            y = tiny(y)
+        y.block_until_ready()
+        diag[f"dispatch_ms_chain{n}"] = round(
+            1000 * (time.perf_counter() - t0) / n, 2)
+
+    s = jnp.float32(1.0) + 0.0
+    s.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(jax.device_get(s))
+    diag["blocking_pull_rtt_ms"] = round(
+        100.0 * (time.perf_counter() - t0), 2)
+
+    a = jnp.ones((2048, 2048), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    mm(a).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(30):
+        o = mm(a)
+    o.block_until_ready()
+    ms = 1000 * (time.perf_counter() - t0) / 30
+    diag["matmul2048_bf16_ms"] = round(ms, 3)
+    diag["matmul2048_bf16_tflops"] = round(
+        2 * 2048**3 / (ms / 1000) / 1e12, 2)
+    emit(diag=diag)
+
+
+def bench_hot_path(jax, pf):
     """Section 1: single-sequence tracking + scale-opt FPS (the headline)."""
     import jax.numpy as jnp
 
     from direct_stereo_slam_tpu.config import make_config
     from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
-    from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
     from direct_stereo_slam_tpu.models.depth_template import (
         build_template, default_budgets)
     from direct_stereo_slam_tpu.models.scale_opt import optimize_scale_single
@@ -115,35 +296,45 @@ def bench_hot_path(jax):
     N_FRAMES = 30
     N_POINTS = 2000        # preset-0 active point budget
 
-    ds = SyntheticStereoDataset(n_frames=3, width=W, height=H, speed=0.4)
     cfg = make_config(W, H, preset=0, mode=1)
-    K = ds.K
-    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H, LVLS)
 
-    f0 = ds.frame(0)
-    f1 = ds.frame(1)
-    # The synthetic renderer runs on the HOST CPU backend (a device-side
-    # run degrades the whole session ~30x; io/synthetic.py). Its frames
-    # must be explicitly committed to the TPU before timing: a CPU-backend
-    # operand re-transfers on EVERY dispatch, and on the remote tunnel
-    # that is ~45 ms per 1.8 MB image — r4 measured the same track program
-    # at 10.3 ms with a device-resident image vs 57 ms without. Co-located
-    # hosts pay sub-ms PCIe for this, hidden by the io/native prefetcher.
+    # frames 0 and 1 come from the prefetcher's e2e sequence (same
+    # renderer/shape as the old dedicated 3-frame dataset; the hot-path
+    # program only needs one template frame + one tracked frame)
+    while len(pf.e2e_frames) < 2 and not pf.e2e_done.is_set():
+        time.sleep(0.2)
+    if pf.error:
+        raise pf.error
+    ds = pf.e2e_ds
+    K = ds.K
+    intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
+                                   LVLS)
+    img0_np, _, _ = pf.e2e_frames[0]
+    img1_np, img1r_np, _ = pf.e2e_frames[1]
+
+    # Frames must be explicitly committed to the TPU before timing: a
+    # CPU-backend operand re-transfers on EVERY dispatch, and on the
+    # remote tunnel that is ~45 ms per 1.8 MB image — r4 measured the
+    # same track program at 10.3 ms with a device-resident image vs 57 ms
+    # without. Co-located hosts pay sub-ms PCIe, hidden by the io/native
+    # prefetcher.
     dev = jax.devices()[0]
-    f0 = {k: jax.device_put(v, dev) for k, v in f0.items()}
-    f1 = {k: jax.device_put(v, dev) for k, v in f1.items()}
-    jax.block_until_ready(f1["img0"])
+    img_tmpl = jax.device_put(img0_np, dev)
+    img_new = jax.device_put(img1_np, dev)
+    img_right = jax.device_put(img1r_np, dev)
+    jax.block_until_ready(img_new)
+
     rng = np.random.RandomState(0)
     us = rng.uniform(3, W - 4, N_POINTS).astype(np.float32)
     vs = rng.uniform(3, H - 4, N_POINTS).astype(np.float32)
-    depth = np.asarray(f0["depth0"])[vs.astype(int), us.astype(int)]
+    depth = np.asarray(pf.e2e_depth0)[vs.astype(int), us.astype(int)]
+
+    t_compile0 = time.monotonic()
     tmpl = build_template(
         jnp.asarray(us), jnp.asarray(vs), jnp.asarray(1.0 / depth),
-        jnp.ones(N_POINTS, jnp.float32), f0["img0"], LVLS,
+        jnp.ones(N_POINTS, jnp.float32), img_tmpl, LVLS,
         default_budgets(W, H, LVLS),
     )
-    img_new = f1["img0"]
-    img_right = f1["img1"]
     t10 = jnp.asarray(ds.t_cam1_cam0)
 
     zero = AffLight(jnp.float32(0.0), jnp.float32(0.0))
@@ -155,11 +346,9 @@ def bench_hot_path(jax):
     # batched gathers cost ~1.4x on TPU (same regime note as ops/interp).
     T_init = jnp.eye(4)
 
-    import functools
-
     # jit the WHOLE per-frame program (pyramid build + tracker) — calling
     # build_pyramid untraced costs hundreds of separate dispatches per frame
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def frame_step(img, T_init_):
         pyr = build_pyramid(img, LVLS)
         return track_candidate(
@@ -171,10 +360,13 @@ def bench_hot_path(jax):
         return optimize_scale_single(
             tuple(pyr1.data), tmpl, intr, intr, t10, cfg, jnp.float32(1.0))
 
-    # warmup / compile
+    # warmup / compile (timed separately: a cold-cache day shows up here,
+    # not in the headline)
     frame_step(img_new, T_init).T.block_until_ready()
     scale_step(img_right).scale.block_until_ready()
+    hot_compile_s = time.monotonic() - t_compile0
 
+    pf.pause()
     t0 = time.perf_counter()
     for i in range(N_FRAMES):
         out = frame_step(img_new, T_init)
@@ -183,19 +375,21 @@ def bench_hot_path(jax):
     out.T.block_until_ready()
     so.scale.block_until_ready()
     dt = time.perf_counter() - t0
+    pf.resume()
 
     fps = N_FRAMES / dt
     baseline = 100.0
-    emit(value=round(fps, 2), vs_baseline=round(fps / baseline, 3))
+    emit(value=round(fps, 2), vs_baseline=round(fps / baseline, 3),
+         hot_compile_s=round(hot_compile_s, 1))
 
     # hand the built pieces to the batch sweep so it needn't rebuild
     return dict(jnp=jnp, tmpl=tmpl, intr=intr, cfg=cfg, img_new=img_new,
-                LVLS=LVLS, zero=zero, one=one,
+                LVLS=LVLS, zero=zero, one=one, W=W, H=H, ds=ds,
                 build_pyramid=build_pyramid, track_candidate=track_candidate)
 
 
-def bench_batch_sweep(jax, hot):
-    """Section 2: batched multi-sequence throughput sweep (BASELINE
+def bench_batch_sweep(jax, hot, pf):
+    """Section 4: batched multi-sequence throughput sweep (BASELINE
     config 5). vmap the per-frame program over B independent sequences on
     ONE chip: the batch-eval scaling story (SURVEY §2.3)."""
     jnp = hot["jnp"]
@@ -240,11 +434,13 @@ def bench_batch_sweep(jax, hot):
         for name, fn in (("vmap", frame_step_batch),
                          ("folded", frame_step_batch_folded)):
             fn(imgs_b, Tb).T.block_until_ready()
+            pf.pause()
             t0 = time.perf_counter()
             for _ in range(n_iter):
                 outb = fn(imgs_b, Tb)
             outb.T.block_until_ready()
             fps_b = round(B * n_iter / (time.perf_counter() - t0), 2)
+            pf.resume()
             (batch_fps if name == "vmap" else batch_fps_folded)[B] = fps_b
         emit(batch_sweep_fps={str(k): v for k, v in batch_fps.items()},
              batch_sweep_fps_folded={str(k): v
@@ -292,8 +488,16 @@ def _stage_table(timers):
             for n in STAGE_NAMES if timers.count(n) > 0}
 
 
-def bench_e2e(jax, n_frames=40):
-    """Section 3: full SLAMNode pipeline at KITTI resolution on a
+def _device_frames(jax, frames_np):
+    dev = jax.devices()[0]
+    frames = [(jax.device_put(i0, dev), jax.device_put(i1, dev), ts)
+              for i0, i1, ts in frames_np]
+    jax.block_until_ready(frames[-1][0])
+    return frames
+
+
+def bench_e2e(jax, pf, hot):
+    """Section 2: full SLAMNode pipeline at KITTI resolution on a
     synthetic forward sequence. One cold pass (compiles), then as many
     warm async passes as the budget allows (>=1, up to 2 — keep the
     faster: the remote-attached chip's round-trip latency varies
@@ -302,14 +506,13 @@ def bench_e2e(jax, n_frames=40):
     accounting) for the honest table, budget permitting."""
     from direct_stereo_slam_tpu.config import make_config
     from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
-    from direct_stereo_slam_tpu.io.synthetic import SyntheticStereoDataset
     from direct_stereo_slam_tpu.utils.timing import barrier_overhead_ms
 
     import dataclasses
 
-    W, H = 1232, 368
-    ds = SyntheticStereoDataset(n_frames=n_frames, width=W, height=H,
-                                speed=0.4)
+    W, H = hot["W"], hot["H"]
+    ds = pf.e2e_ds
+    n_frames = E2E_FRAMES
     cfg = make_config(W, H, preset=0, mode=1)
     # pipelined tracking (frontend._process_pipelined): benign frames hide
     # the per-frame tracker pull behind the next frame's dispatch — the
@@ -322,26 +525,25 @@ def bench_e2e(jax, n_frames=40):
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
                                    cfg.tracker.pyr_levels)
 
-    # pre-render all frames and COMMIT them to the TPU (the renderer runs
-    # on the host CPU backend; an uncommitted operand re-transfers over
-    # the tunnel on every dispatch — ~90 ms/frame of pure testbed
-    # artifact. Co-located deployments hide the sub-ms PCIe copy behind
-    # the io/native prefetch queue.)
-    dev = jax.devices()[0]
-    frames = []
-    for i in range(n_frames):
-        f = ds.frame(i)
-        frames.append((jax.device_put(f["img0"], dev),
-                       jax.device_put(f["img1"], dev),
-                       float(f["timestamp"])))
-    jax.block_until_ready(frames[-1][0])
+    pf.e2e_done.wait()
+    if pf.error:
+        raise pf.error
+    emit(e2e_frames_ready_s=round(time.monotonic() - _T0, 1))
+    # COMMIT frames to the TPU (the renderer runs on the host CPU
+    # backend; an uncommitted operand re-transfers over the tunnel on
+    # every dispatch — ~90 ms/frame of pure testbed artifact. Co-located
+    # deployments hide the sub-ms PCIe copy behind the io/native
+    # prefetch queue.)
+    frames = _device_frames(jax, pf.e2e_frames)
 
     run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)
     t_cold0 = time.perf_counter()
     run()                       # cold: compiles
     t_cold = time.perf_counter() - t_cold0
 
+    pf.pause()
     dt, timers, _ = run()       # warm pass 1 (always)
+    pf.resume()
     out = {
         "e2e_fps": round(n_frames / dt, 2),
         "e2e_per_frame_ms": round(1000.0 * dt / n_frames, 3),
@@ -352,8 +554,10 @@ def bench_e2e(jax, n_frames=40):
     }
     emit(**out)
 
-    if _remaining() > 2.5 * dt:             # warm pass 2: keep the faster
+    if _remaining() > 2.5 * dt + 60:        # warm pass 2: keep the faster
+        pf.pause()
         dt_b, timers_b, _ = run()
+        pf.resume()
         if dt_b < dt:
             dt, timers = dt_b, timers_b
             emit(e2e_fps=round(n_frames / dt, 2),
@@ -362,9 +566,11 @@ def bench_e2e(jax, n_frames=40):
 
     # profiled pass: honest sync table + pull accounting. Sync passes run
     # slower than async (a barrier RTT per span) — budget ~2.5x warm dt.
-    if _remaining() > 3.0 * dt:
+    if _remaining() > 3.0 * dt + 45:
         barrier_ms = barrier_overhead_ms()
+        pf.pause()
         _, sync_timers, _ = run(sync=True, count_pulls=True)
+        pf.resume()
         emit(stages_sync_ms=_stage_table(sync_timers),
              barrier_ms=round(barrier_ms, 2),
              pulls=sync_timers.pull_stats())
@@ -373,16 +579,9 @@ def bench_e2e(jax, n_frames=40):
     return dt
 
 
-def bench_loop(jax, n_frames=100):
-    """Section 4: revisit lap at KITTI resolution with a SAME-HEADING
-    revisit: 1.45 laps of a circle, so the tail retraces the first segment
-    with matching camera orientation — the geometry loop closure actually
-    needs (like KITTI's revisits). A bare 1.0-lap circle never closes:
-    Scan Context is place-only (heading-agnostic in a 40 m-range room), so
-    its matches can face 90-250 deg away from the current frame, leaving
-    direct alignment zero visual overlap and ICP a divergent seed
-    (measured: 0 closures in 70 frames; with the retrace, 5 direct
-    closures in 100).
+def bench_loop(jax, pf):
+    """Section 3: revisit lap at KITTI resolution (trajectory/scene
+    rationale in FramePrefetcher._render_all).
 
     loop_margin is lowered to 12 KF-entries (the synthetic lap is ~35 KFs
     end to end — far shorter than the KITTI revisit intervals the default
@@ -393,34 +592,16 @@ def bench_loop(jax, n_frames=100):
     r3 walk could quadruple the section's cost and hid which gate fired."""
     import dataclasses
 
-    import numpy as np
-    import jax.numpy as jnp
-
     from direct_stereo_slam_tpu.config import make_config
     from direct_stereo_slam_tpu.geometry.camera import make_pyramid_intrinsics
-    from direct_stereo_slam_tpu.io.synthetic import (
-        SyntheticStereoDataset, default_scene, loop_trajectory)
 
+    pf.loop_done.wait()
+    if pf.error:
+        raise pf.error
+    emit(loop_frames_ready_s=round(time.monotonic() - _T0, 1))
+    ds = pf.loop_ds
+    n_frames = LOOP_FRAMES
     W, H = 1232, 368
-    # box-rich room (same construction as tests/test_full_slam.py): the
-    # bare-walls default is too texture-poor for reliable revisit tracking
-    rngb = np.random.RandomState(7)
-    centers = []
-    while len(centers) < 14:
-        c = rngb.uniform(-22, 22, 3)
-        c[1] = rngb.uniform(-1.5, 0.5)
-        c[2] = rngb.uniform(-14, 30)
-        if np.hypot(c[0], c[2] - 8.0) < 4.0 or np.hypot(c[0], c[2] - 8.0) > 13.0:
-            centers.append(c)
-    scene = default_scene(wall_x=25.0, front_z=45.0, back_z=-25.0)
-    scene = scene._replace(
-        box_centers=jnp.asarray(np.stack(centers), jnp.float32),
-        box_half=jnp.asarray(rngb.uniform(0.5, 2.0, (14, 3)), jnp.float32),
-        box_phase=jnp.asarray(rngb.uniform(0, 6.28, (14, 2)), jnp.float32),
-    )
-    ds = SyntheticStereoDataset(n_frames=n_frames, width=W, height=H,
-                                scene=scene)
-    ds.poses = loop_trajectory(n_frames, radius=8.0, laps=1.45, ease_in=8)
     cfg = make_config(W, H, preset=0, mode=1)
     cfg = cfg.replace(loop=dataclasses.replace(
         cfg.loop, loop_margin=12, lidar_range=40.0,
@@ -429,14 +610,7 @@ def bench_loop(jax, n_frames=100):
     K = ds.K
     intr = make_pyramid_intrinsics(K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
                                    cfg.tracker.pyr_levels)
-    dev = jax.devices()[0]
-    frames = []
-    for i in range(n_frames):
-        f = ds.frame(i)
-        frames.append((jax.device_put(f["img0"], dev),
-                       jax.device_put(f["img1"], dev),
-                       float(f["timestamp"])))
-    jax.block_until_ready(frames[-1][0])
+    frames = _device_frames(jax, pf.loop_frames)
 
     run = lambda **kw: _run_node(jax, frames, cfg, intr, ds.t_cam1_cam0, **kw)
 
@@ -450,6 +624,7 @@ def bench_loop(jax, n_frames=100):
     emit(loop_fps=round(n_frames / dt, 2),
          loop_count=int(loops),
          loop_sc_thres=0.33,
+         loop_funnel=dict(handler.stats),
          loop_stages_ms=_stage_table(timers))
 
     # production shape: the loop handler runs on its own thread (the
@@ -462,6 +637,7 @@ def bench_loop(jax, n_frames=100):
                                      + handler_thr.icp_loop_count))
     else:
         emit(loop_threaded_skipped="budget")
+    return dt
 
 
 def main():
@@ -470,20 +646,27 @@ def main():
 
     emit()                      # line 0: the skeleton always exists
 
-    hot = bench_hot_path(jax)   # section 1: headline single-seq FPS
-
+    # diag runs BEFORE the prefetcher exists: its probes are host-timed
+    # micro-RTTs, and on the 1-core driver host the renderer's ~200 s
+    # XLA:CPU compile (uninterruptible, so pause() can't gate it) starved
+    # a concurrent pull loop into 53 s/pull garbage (first r5 run).
     try:
-        bench_batch_sweep(jax, hot)
+        bench_diag(jax)         # section 0: testbed health (~15 s)
     except Exception as e:
-        emit(batch_error=f"{type(e).__name__}: {e}"[:200])
+        emit(diag_error=f"{type(e).__name__}: {e}"[:200])
+
+    pf = FramePrefetcher()      # rendering overlaps the compiles below
+
+    hot = bench_hot_path(jax, pf)   # section 1: headline single-seq FPS
 
     # e2e: a cold pass costs ~1-4 min of compiles on an empty cache; with
-    # the persistent cache it's tens of seconds. Require headroom for
-    # cold + one warm pass; scale the optional passes inside.
+    # the persistent cache it's tens of seconds. It is the MANDATED
+    # number, so it runs right after the headline and before any optional
+    # section; scale the optional passes inside.
     e2e_dt = None
     if _remaining() > 60:
         try:
-            e2e_dt = bench_e2e(jax)
+            e2e_dt = bench_e2e(jax, pf, hot)
         except Exception as e:
             emit(e2e_error=f"{type(e).__name__}: {e}"[:200])
     else:
@@ -491,14 +674,20 @@ def main():
 
     # loop lap: cold + one pass at ~2-5 e2e FPS over 100 frames. Estimate
     # from the measured e2e rate when available.
-    est_loop = (2.6 * (100 / 40) * e2e_dt) if e2e_dt else 120
+    loop_dt = None
+    est_loop = (2.6 * (LOOP_FRAMES / E2E_FRAMES) * e2e_dt) if e2e_dt else 120
     if _remaining() > est_loop:
         try:
-            bench_loop(jax)
+            loop_dt = bench_loop(jax, pf)
         except Exception as e:  # never lose the earlier sections
             emit(loop_error=f"{type(e).__name__}: {e}"[:200])
     else:
         emit(loop_skipped="budget")
+
+    try:
+        bench_batch_sweep(jax, hot, pf)
+    except Exception as e:
+        emit(batch_error=f"{type(e).__name__}: {e}"[:200])
 
 
 if __name__ == "__main__":
