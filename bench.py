@@ -75,7 +75,7 @@ _REPORT = {"metric": "stereo_tracking_scaleopt_fps_per_chip_kitti_res",
            "budget_s": BUDGET_S}
 
 E2E_FRAMES = 40
-LOOP_FRAMES = 100
+LOOP_FRAMES = 220
 
 
 def _remaining():
@@ -174,7 +174,7 @@ class FramePrefetcher:
 
     def _render_all(self):
         from direct_stereo_slam_tpu.io.synthetic import (
-            SyntheticStereoDataset, default_scene, loop_trajectory)
+            SyntheticStereoDataset, default_scene)
         import jax.numpy as jnp
 
         W, H = 1232, 368
@@ -191,21 +191,26 @@ class FramePrefetcher:
                 (f["img0"], f["img1"], float(f["timestamp"])))
         self.e2e_done.set()
 
-        # loop lap: box-rich room (same construction as
-        # tests/test_full_slam.py — bare walls are too texture-poor for
-        # reliable revisit tracking), 1.45 laps so the tail retraces the
-        # first segment with matching heading (Scan Context is place-only;
-        # a 1.0-lap circle's matches face away and direct alignment has
-        # zero overlap — measured 0 closures in 70 frames without the
-        # retrace, 5 direct closures in 100 with it).
+        # loop lap: box-rich room + STADIUM trajectory (straight-retrace
+        # revisit). The r4 circle lap's revisits always carried a heading
+        # offset, structurally capping the direct verifier's visible-point
+        # ratio, and its 5.2 deg/frame turn accumulated enough map/scale
+        # drift that the photometric floor sat exactly at the acceptance
+        # gate (chip-measured: best_err 10.09 vs res_thres 10.0, inlier
+        # gate failing 8/14 tries — loop_count flapped 5 <-> 0 on
+        # last-ulp numerics days). The stadium's straight is re-driven
+        # with identical heading — KITTI's revisit geometry
+        # (io/synthetic.stadium_trajectory).
+        from direct_stereo_slam_tpu.io.synthetic import (
+            dist_to_stadium_track, stadium_trajectory)
+        STRAIGHT, RADIUS = 16.0, 7.0
         rngb = np.random.RandomState(7)
         centers = []
         while len(centers) < 14:
             c = rngb.uniform(-22, 22, 3)
             c[1] = rngb.uniform(-1.5, 0.5)
             c[2] = rngb.uniform(-14, 30)
-            if np.hypot(c[0], c[2] - 8.0) < 4.0 or \
-               np.hypot(c[0], c[2] - 8.0) > 13.0:
+            if dist_to_stadium_track(c[0], c[2], STRAIGHT, RADIUS) > 3.5:
                 centers.append(c)
         scene = default_scene(wall_x=25.0, front_z=45.0, back_z=-25.0)
         scene = scene._replace(
@@ -214,11 +219,22 @@ class FramePrefetcher:
                                  jnp.float32),
             box_phase=jnp.asarray(rngb.uniform(0, 6.28, (14, 2)),
                                   jnp.float32),
+            # realistic pixel-scale texture smoothness for the verifier
+            # (SyntheticScene.tex_freq docstring)
+            tex_freq=jnp.float32(0.6),
         )
         ds2 = SyntheticStereoDataset(n_frames=LOOP_FRAMES, width=W, height=H,
                                      scene=scene)
-        ds2.poses = loop_trajectory(LOOP_FRAMES, radius=8.0, laps=1.45,
-                                    ease_in=8)
+        # ~0.5 m/frame, 4.1 deg/frame on the arcs. 1.45 laps: the retrace
+        # must reach segments whose FIRST pass happened after the stereo
+        # scale trapped — scans recorded while scale_error < 0 never
+        # enter the Scan-Context database (reference bypass,
+        # LoopHandler.cpp:225-229), so a 1.25-lap retrace of only the
+        # first straight re-drives frames with no database counterpart
+        # (measured: every sc_pass match was a wrong place 9-25 m /
+        # 66-171 deg off, and the verifier rightly rejected all 19).
+        ds2.poses = stadium_trajectory(LOOP_FRAMES, straight=STRAIGHT,
+                                       radius=RADIUS, laps=1.45, ease_in=8)
         self.loop_ds = ds2
         for i in range(LOOP_FRAMES):
             self._checkpoint()
@@ -621,10 +637,30 @@ def bench_loop(jax, pf):
 
     dt, timers, handler = run()  # the ONE post-cold measured pass
     loops = handler.direct_loop_count + handler.icp_loop_count
+    # how marginal were the direct-alignment rejections? (a 0-loop lap
+    # with best_err ~= res_thres is acceptance jitter; best_err >> thres
+    # is a recall problem)
+    tl = getattr(handler, "try_log", [])
+    try_summary = None
+    if tl:
+        errs = sorted(t[0] for t in tl)
+        try_summary = {
+            "n": len(tl),
+            "best_err": round(errs[0], 2),
+            "median_err": round(errs[len(errs) // 2], 2),
+            "accepted_seeds_total": int(sum(t[2] for t in tl)),
+            # which gate failed, over tries (res / inlier / affine)
+            "gate_pass": {
+                "res": int(sum(t[3] for t in tl)),
+                "inlier": int(sum(t[4] for t in tl)),
+                "aff": int(sum(t[5] for t in tl)),
+            },
+        }
     emit(loop_fps=round(n_frames / dt, 2),
          loop_count=int(loops),
          loop_sc_thres=0.33,
          loop_funnel=dict(handler.stats),
+         loop_try=try_summary,
          loop_stages_ms=_stage_table(timers))
 
     # production shape: the loop handler runs on its own thread (the

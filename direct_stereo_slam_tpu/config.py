@@ -243,6 +243,14 @@ class LoopConfig:
     # direct pose estimator gates (PoseEstimator.h:26-27, cpp:463-505)
     res_thres: float = 10.0
     inner_percent: float = 90.0
+    # multi-seed direct alignment (pose_estimator.estimate_batch): yaw
+    # perturbations of the primary seed, batched into ONE vmapped LM
+    # dispatch — the tracker try-list idea (FrontEnd.cpp:132-186) applied
+    # to loop closure. The PCA/ICP seed's dominant error mode is yaw
+    # (Scan Context is a polar descriptor); a single-seed LM converges to
+    # a nearby local minimum whose residual sits just above res_thres on
+    # marginal revisits. Empty tuple = reference's single-seed behavior.
+    seed_yaw_perturb_deg: Tuple[float, ...] = (3.0, -3.0, 6.0, -6.0)
     # icp (icp.h:20, 57-63)
     icp_thres: float = 1.5
     icp_max_iterations: int = 5

@@ -39,6 +39,15 @@ class SyntheticScene(NamedTuple):
     box_centers: jnp.ndarray
     box_half: jnp.ndarray
     box_phase: jnp.ndarray
+    # global texture spatial-frequency scale. 1.0 = the historical
+    # pattern (all tests/goldens). The default pattern's pixel-scale
+    # intensity gradients are ~2x sharper than typical outdoor imagery;
+    # a direct loop verifier sees residual = gradient x map-drift
+    # misprojection, so on long synthetic laps the photometric floor
+    # sits at the reference acceptance gate (chip-measured ~11-13 vs
+    # res_thres 10, with the aligner compressing contrast to slope
+    # ~0.45). Loop-closure scenarios use ~0.6 for realistic smoothness.
+    tex_freq: jnp.ndarray = None
 
 
 def default_scene(
@@ -106,10 +115,13 @@ def _loop_scene() -> SyntheticScene:
     )
 
 
-def _texture(p: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+def _texture(p: jnp.ndarray, phase: jnp.ndarray, freq=None) -> jnp.ndarray:
     """World position [..., 3] + per-plane phase [..., 2] -> intensity.
-    Multi-frequency smooth pattern, range ~[10, 245]."""
+    Multi-frequency smooth pattern, range ~[10, 245]. ``freq`` scales all
+    spatial frequencies (SyntheticScene.tex_freq; None = 1.0)."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    if freq is not None:
+        x, y, z = x * freq, y * freq, z * freq
     a, b = phase[..., 0], phase[..., 1]
     # Frequencies kept low enough that bilinear resampling bias (which the
     # 8-pattern photometric BA is sensitive to on slanted planes) stays well
@@ -174,7 +186,7 @@ def render(
         scene.box_phase[box_idx],
         scene.tex_phase[plane_idx],
     )
-    img = _texture(p_world, phase)
+    img = _texture(p_world, phase, scene.tex_freq)
     img = jnp.clip(img, 0.0, 255.0)
     depth = t_final  # camera z-depth since d_cam z == 1
     return img, depth
@@ -230,6 +242,58 @@ def loop_trajectory(n_frames: int, radius: float = 12.0, laps: float = 1.0,
         T[:3, 3] = [cx_, 0.0, cz_]
         poses.append(T)
     return np.stack(poses)
+
+
+def stadium_trajectory(n_frames: int, straight: float = 16.0,
+                       radius: float = 7.0, laps: float = 1.25,
+                       ease_in: int = 0):
+    """Stadium (oval) trajectory in the x-z plane: two straights joined by
+    half-circles; ``laps`` > 1 retraces the FIRST STRAIGHT with identical
+    heading. This is the KITTI revisit geometry (straight-segment,
+    same-direction re-drive) — a circle's revisits always carry a heading
+    offset, which structurally caps the direct verifier's visible-point
+    ratio on sparse photometric clouds (chip-measured: inlier gate failed
+    8/14 tries on the circle lap at best_err 8.4)."""
+    P = 2.0 * straight + 2.0 * np.pi * radius
+    total = laps * P
+    if ease_in > 0:
+        w = np.minimum(1.0, (np.arange(n_frames) + 1) / ease_in)
+        cum = np.concatenate([[0.0], np.cumsum(w)[:-1]])
+        s_arr = total * cum / cum[-1] if cum[-1] > 0 else cum
+    else:
+        s_arr = total * np.arange(n_frames) / n_frames
+    L, r = straight, radius
+    poses = []
+    for s in np.mod(s_arr, P):
+        if s < L:                                   # straight A, +z
+            pos = np.array([0.0, 0.0, s]);           yaw = 0.0
+        elif s < L + np.pi * r:                     # far half-circle
+            th = (s - L) / r
+            pos = np.array([r - r * np.cos(th), 0.0, L + r * np.sin(th)])
+            yaw = th
+        elif s < 2 * L + np.pi * r:                 # straight B, -z
+            u = s - L - np.pi * r
+            pos = np.array([2 * r, 0.0, L - u]);     yaw = np.pi
+        else:                                       # near half-circle
+            th = (s - 2 * L - np.pi * r) / r
+            pos = np.array([r + r * np.cos(th), 0.0, -r * np.sin(th)])
+            yaw = np.pi + th
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]],
+                             dtype=np.float32)
+        T[:3, 3] = pos
+        poses.append(T)
+    return np.stack(poses)
+
+
+def dist_to_stadium_track(x, z, straight=16.0, radius=7.0):
+    """Distance from plan-view point (x, z) to the stadium centerline
+    (for keeping scene boxes off the track)."""
+    # spine segment from (radius, 0) to (radius, straight)
+    dz = np.clip(z, 0.0, straight)
+    d_spine = np.hypot(x - radius, z - dz)
+    return np.abs(d_spine - radius)
 
 
 class SyntheticStereoDataset:

@@ -36,6 +36,10 @@ class LoopPoseResult(NamedTuple):
     inlier_ratio: jnp.ndarray
     aff: AffLight
     ok: jnp.ndarray
+    # which acceptance gate(s) passed — diagnostics for loop_count=0 laps
+    ok_res: jnp.ndarray = None
+    ok_inlier: jnp.ndarray = None
+    ok_aff: jnp.ndarray = None
 
 
 def _estimate_level(
@@ -180,19 +184,111 @@ def estimate(
     inlier_ratio = 100.0 * n0 / total
 
     lp = cfg.loop
-    ok = (pose_error < lp.res_thres) & (inlier_ratio > lp.inner_percent)
+    ok_res = pose_error < lp.res_thres
+    ok_inlier = inlier_ratio > lp.inner_percent
     # affine gates (cpp:465-477)
+    ok_aff = jnp.bool_(True)
     if tc.affine_mode_a != 0:
-        ok &= jnp.abs(aff.a) <= tc.max_aff_a
+        ok_aff &= jnp.abs(aff.a) <= tc.max_aff_a
     if tc.affine_mode_b != 0:
-        ok &= jnp.abs(aff.b) <= tc.max_aff_b
+        ok_aff &= jnp.abs(aff.b) <= tc.max_aff_b
     rel_a, rel_b = aff_from_to(
         ref_exposure, jnp.float32(0.0), jnp.float32(0.0),
         new_exposure, aff.a, aff.b)
     if tc.affine_mode_a == 0:
-        ok &= jnp.abs(jnp.log(jnp.maximum(rel_a, 1e-12))) <= tc.max_rel_aff_log_a
+        ok_aff &= jnp.abs(jnp.log(jnp.maximum(rel_a, 1e-12))) <= tc.max_rel_aff_log_a
     if tc.affine_mode_b == 0:
-        ok &= jnp.abs(rel_b) <= tc.max_rel_aff_b
+        ok_aff &= jnp.abs(rel_b) <= tc.max_rel_aff_b
+    ok = ok_res & ok_inlier & ok_aff
 
     return LoopPoseResult(T=T, pose_error=pose_error,
-                          inlier_ratio=inlier_ratio, aff=aff, ok=ok)
+                          inlier_ratio=inlier_ratio, aff=aff, ok=ok,
+                          ok_res=ok_res, ok_inlier=ok_inlier, ok_aff=ok_aff)
+
+
+class LoopPoseBatchResult(NamedTuple):
+    best: LoopPoseResult          # winning seed's result (ok seeds first,
+    #                               then lowest pose_error)
+    seed_errors: jnp.ndarray      # [S] per-seed pose_error (diagnostics)
+    seed_inliers: jnp.ndarray     # [S] per-seed inlier ratio
+    seed_ok: jnp.ndarray          # [S]
+
+
+@partial(jax.jit, static_argnums=(7, 8))
+def estimate_batch(
+    pyr_cur: Tuple[jnp.ndarray, ...],
+    px: jnp.ndarray, py: jnp.ndarray, pz: jnp.ndarray,
+    pcolors: jnp.ndarray,
+    pmask: jnp.ndarray,
+    T_inits: jnp.ndarray,              # [S, 4, 4] seed stack
+    intr: PyramidIntrinsics,
+    cfg: SLAMConfig,
+    ref_exposure: jnp.ndarray = None,
+    new_exposure: jnp.ndarray = None,
+) -> LoopPoseBatchResult:
+    """Multi-seed direct alignment in ONE device dispatch.
+
+    The coarse tracker escapes local minima with a 78-candidate
+    perturbation try-list (FrontEnd.cpp:132-186); the reference's
+    PoseEstimator gets only the single PCA seed, and its acceptance is
+    correspondingly marginal — measured chip laps swing 5 <-> 0 accepted
+    revisits on last-ulp numerics shifts because the LM converges to a
+    nearby local minimum whose level-0 residual sits just above
+    RES_THRES. This is the try-list idea applied to loop closure, and on
+    TPU it is nearly free: vmap the whole coarse-to-fine LM over the seed
+    stack (batched matmuls/gathers, one dispatch ~ the cost of one seed)
+    and select — ok seeds first, lowest pose_error among them.
+    """
+    if ref_exposure is None:
+        ref_exposure = jnp.float32(1.0)
+    if new_exposure is None:
+        new_exposure = jnp.float32(1.0)
+
+    def one(T0):
+        return estimate.__wrapped__(
+            pyr_cur, px, py, pz, pcolors, pmask, T0, intr, cfg,
+            ref_exposure, new_exposure)
+
+    res = jax.vmap(one)(T_inits)
+    # rank: passing seeds by pose_error, failing seeds pushed to +inf
+    key = jnp.where(res.ok, res.pose_error, jnp.inf)
+    best_ok = jnp.argmin(key)
+    any_ok = jnp.any(res.ok)
+    # fallback (diagnostics only — nothing accepts): the seed closest to
+    # acceptance. A seed that projects ZERO points reads pose_error 0 /
+    # inlier 0 — rank visibility-passing seeds by error first, then any
+    # seed with nonzero visibility, so best_err never reports a
+    # degenerate 0.00.
+    lp = cfg.loop
+    vis_key = jnp.where(res.inlier_ratio > lp.inner_percent,
+                        res.pose_error,
+                        jnp.where(res.inlier_ratio > 0.0,
+                                  res.pose_error + 1e3, jnp.inf))
+    best_err = jnp.argmin(vis_key)
+    idx = jnp.where(any_ok, best_ok, best_err)
+    best = LoopPoseResult(
+        T=res.T[idx], pose_error=res.pose_error[idx],
+        inlier_ratio=res.inlier_ratio[idx],
+        aff=AffLight(res.aff.a[idx], res.aff.b[idx]), ok=res.ok[idx],
+        ok_res=res.ok_res[idx], ok_inlier=res.ok_inlier[idx],
+        ok_aff=res.ok_aff[idx])
+    return LoopPoseBatchResult(best=best, seed_errors=res.pose_error,
+                               seed_inliers=res.inlier_ratio,
+                               seed_ok=res.ok)
+
+
+def make_seed_stack(primary: np.ndarray, extras, yaw_perturb_deg) -> np.ndarray:
+    """[S, 4, 4] seed stack: primary, then extras, then yaw perturbations
+    of the primary about its own camera-frame Y axis (Scan Context's PCA
+    alignment leaves yaw as the dominant seed error mode)."""
+    seeds = [np.asarray(primary, np.float64)]
+    for e in extras:
+        seeds.append(np.asarray(e, np.float64))
+    for deg in yaw_perturb_deg:
+        th = np.deg2rad(deg)
+        R = np.array([[np.cos(th), 0.0, np.sin(th), 0.0],
+                      [0.0, 1.0, 0.0, 0.0],
+                      [-np.sin(th), 0.0, np.cos(th), 0.0],
+                      [0.0, 0.0, 0.0, 1.0]])
+        seeds.append(np.asarray(primary, np.float64) @ R)
+    return np.stack(seeds).astype(np.float32)
