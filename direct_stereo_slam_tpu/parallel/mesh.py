@@ -47,20 +47,16 @@ def make_batched_step(intr: PyramidIntrinsics, cfg: SLAMConfig, levels: int):
     with leading batch dim on every leaf), T_init [B, 4, 4]."""
 
     def step(img0, img1, template, T_init):
-        # FOLDED batch form: pyramids build vmapped into [B, Hl, Wl, 3]
-        # stacks that the per-lane tracker closes over; each residual pass
-        # samples its own lane through one rank-1 flat take
-        # (ops/residual_hb._sample_img). A plain vmap over per-sequence
-        # planes instead hands XLA batched-operand gathers, whose
-        # per-index cost ate the batch-eval scaling (BENCH r2:
-        # 8 x 195 fps ideal -> 278 measured).
-        pyr0s = jax.vmap(lambda im: build_pyramid(im, levels))(img0)
-        pyr1s = jax.vmap(lambda im: build_pyramid(im, levels))(img1)
-        lanes = jnp.arange(img0.shape[0], dtype=jnp.int32)
-
-        def one_sequence(lane, z_src, template, T_init):
-            pyr0_f = tuple((d, lane) for d in pyr0s.data)
-            pyr1_f = tuple((d, lane) for d in pyr1s.data)
+        # PLAIN vmap over per-sequence pyramid planes. History: r2-r4 used
+        # a "folded" form (close over [B, Hl, Wl, 3] stacks, sample each
+        # lane through one rank-1 flat take) because the r2-era vmapped
+        # row gather lowered to a slow batched-operand gather (8 x 195
+        # ideal -> 278 measured). After the r5 sampling revert
+        # (ops/residual_hb), the measured chip numbers flipped hard:
+        # plain vmap 301/310/263 aggregate FPS at B=8/16/32 vs the folded
+        # form's 116/27/21 (BENCH r5 batch sweep, both measured each
+        # run) — the folded take path pays its per-op overheads times B.
+        def one_sequence(pyr0_data, pyr1_data, z_src, template, T_init):
             # derive scalars from per-shard data: under shard_map's
             # varying-axes checking (jax>=0.8), replicated literals in
             # while_loop carries clash with shard-varying outputs
@@ -68,19 +64,22 @@ def make_batched_step(intr: PyramidIntrinsics, cfg: SLAMConfig, levels: int):
             zero = AffLight(z, z)
             one = z + 1.0
             tr = track_candidate(
-                pyr0_f, template, intr, cfg, T_init, zero, zero, one, one
+                pyr0_data, template, intr, cfg, T_init, zero, zero, one, one
             )
             t10 = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(-0.54)
             so = optimize_scale_single(
-                pyr1_f, template, intr, intr, t10, cfg, jnp.float32(1.0)
+                pyr1_data, template, intr, intr, t10, cfg, jnp.float32(1.0)
             )
             return BatchedStepOut(
                 T=tr.T, res=tr.res_per_level[0], scale=so.scale,
                 scale_err=so.error
             )
 
-        return jax.vmap(one_sequence, in_axes=(0, 0, 0, 0))(
-            lanes, img0[:, 0, 0], template, T_init
+        pyr0s = jax.vmap(lambda im: build_pyramid(im, levels))(img0)
+        pyr1s = jax.vmap(lambda im: build_pyramid(im, levels))(img1)
+        return jax.vmap(one_sequence, in_axes=(0, 0, 0, 0, 0))(
+            tuple(pyr0s.data), tuple(pyr1s.data), img0[:, 0, 0],
+            template, T_init
         )
 
     return step

@@ -392,7 +392,17 @@ SECTIONS = {
 def main():
     import jax
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dsslam_jax_cache")
+        # host-keyed like bench._setup_cache so the battery reuses the
+        # bench run's compiled programs
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(l for l in f if l.startswith("flags"))
+            suffix = "_" + hashlib.md5(flags.encode()).hexdigest()[:8]
+        except Exception:
+            suffix = ""
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/dsslam_jax_cache" + suffix)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
