@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PATTERN_OFFSETS, SLAMConfig
-from ..ops.interp import (bilinear_gather, bilinear_take_frames,
+from ..ops.interp import (bilinear_gather, bilinear_gather_frames,
+                          bilinear_take_frames,
                           bilinear_take_plane)
 
 _HI = jax.lax.Precision.HIGHEST
@@ -337,8 +338,12 @@ def activate_points(
         Kv = fy * vn + cy
         inb = (Ku > 2) & (Kv > 2) & (Ku < Wd - 3) & (Kv < H - 3) & (z > 1e-4)
 
+        # ROW-GATHER frames form: this pass's [lanes, Wn, 8] index sets
+        # (~16k-131k) are per-gather-OP latency bound, where the flat-take
+        # form's 12 takes cost 3.7x the 4 row gathers (chip A/B r5:
+        # activation chain 64 -> 17.4 ms, numerics bitwise-identical)
         t_fold = jnp.arange(Wn, dtype=jnp.int32)[:, None, None]
-        hit_i, hit_dx, hit_dy = bilinear_take_frames(images, t_fold, Ku, Kv)
+        hit_i, hit_dx, hit_dy = bilinear_gather_frames(images, t_fold, Ku, Kv)
         r = hit_i - (a_t[:, None, None] * pts.color[None] + b_t[:, None, None])
         hw = jnp.where(jnp.abs(r) < 9.0, 1.0, 9.0 / jnp.maximum(jnp.abs(r), 1e-9))
         wpat = pts.weight[None] ** 2

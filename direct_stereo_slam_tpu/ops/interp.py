@@ -160,6 +160,39 @@ def bilinear_take_channels(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return tuple(out)
 
 
+def bilinear_gather_frames(images: jnp.ndarray, fidx: jnp.ndarray,
+                           u: jnp.ndarray, v: jnp.ndarray):
+    """images: [F, H, W, C]; fidx broadcastable to u/v; returns a C-tuple
+    of planes sampled in frame ``fidx`` at (u, v) — ROW-GATHER form: four
+    gathers of C-channel rows from the [F*H*W, C] flat view.
+
+    Regime note (r5, measured on chip): mid-size index sets (10k-300k —
+    BA linearization at [NP, W, 8], activation at [lanes, W, 8]) are
+    per-gather-OP latency bound, so the flat-take form's 12 lane-aligned
+    takes cost ~3x this form's 4 row gathers (activation pass chain 48 ->
+    ~16 ms, BA linearize 15.7 -> ~6 ms). The take form still wins at the
+    trace's multi-million clustered index sets where this row gather has
+    a measured ~400x pathological lowering; see bilinear_take_plane."""
+    F, H, W, C = images.shape
+    u = jnp.clip(u, 0.0, W - 1.001)
+    v = jnp.clip(v, 0.0, H - 1.001)
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    fidx = jnp.broadcast_to(fidx, ix.shape)
+    base = ((fidx * H) + iy) * W + ix
+    fx = (u - ix)[..., None]
+    fy = (v - iy)[..., None]
+    flat = images.reshape(F * H * W, C)
+    p00 = flat[base]
+    p10 = flat[base + 1]
+    p01 = flat[base + W]
+    p11 = flat[base + W + 1]
+    top = p00 * (1.0 - fx) + p10 * fx
+    bot = p01 * (1.0 - fx) + p11 * fx
+    out = top * (1.0 - fy) + bot * fy
+    return tuple(out[..., c] for c in range(C))
+
+
 def bilinear_take_frames(images: jnp.ndarray, fidx: jnp.ndarray,
                          u: jnp.ndarray, v: jnp.ndarray):
     """images: [F, H, W, C]; fidx int32 broadcastable to u/v shape; returns a
