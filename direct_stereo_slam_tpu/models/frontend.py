@@ -67,10 +67,14 @@ def _const_motion_candidate(T_rn_last, T_rn_prelast):
 
 
 @partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3, 4))
 def _halfres_distance_map(state, new_slot, K1, h2, w2):
     """Project every active point into the new KF at half resolution and
     build the activation distance map — all on device (the host version
-    cost two pulls per keyframe on a remote-attached chip)."""
+    cost two pulls per keyframe on a remote-attached chip). Jitted as one
+    program: the eager form's ~20 separate dispatches cost 16 ms/KF of
+    pure tunnel dispatch latency (chip probe r5: the jitted program runs
+    0.3 ms)."""
     fx0, fy0, cx0, cy0 = state.calib_current()
     T_all = state.T_current()
     T_cw_new = T_all[new_slot]
